@@ -1,0 +1,190 @@
+"""The batched simulation engine: PD actuation -> forward dynamics -> contact
+solve -> semi-implicit integration, `decimation` substeps per control step.
+
+This is the TPU-native replacement for the reference's IsaacGym step loop
+(bbc/legged_gym/envs/base/legged_robot.py:99-115: per-substep
+`_compute_torques` -> set_dof_actuation_force_tensor -> gym.simulate).
+Everything is a pure function of (state, control, params); the env layer
+vmaps/shards it along the env axis.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from agility_tpu.core import quat as qm
+from agility_tpu.physics import contact as ct
+from agility_tpu.physics import dynamics as dyn
+from agility_tpu.physics import heightfield as hf
+from agility_tpu.physics import kinematics as kin
+from agility_tpu.physics.constants import ModelConsts
+from agility_tpu.physics.state import SimState
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    dt: float = 1.0 / 200.0          # sim dt (reference legged_robot_config.py:174)
+    decimation: int = 4              # control dt = dt * decimation (go2 cfg:60)
+    gravity: Tuple[float, float, float] = (0.0, 0.0, -9.81)
+    solver: str = "pgs"              # "pgs" | "soft"
+    pgs_iters: int = 4               # ~ physx num_position_iterations (cfg:182)
+    baumgarte: float = 0.2
+    contact_slop: float = 0.002
+    max_depenetration_vel: float = 1.0   # physx cfg:187
+    restitution: float = 0.0             # terrain cfg:27
+    # soft-solver gains
+    soft_kn: float = 5000.0
+    soft_cn: float = 150.0
+    soft_kt: float = 500.0
+    # joint handling
+    enforce_joint_limits: bool = True
+    dtype: object = jnp.float32
+
+
+class EnvParams(NamedTuple):
+    """Per-env domain-randomized physical parameters (leading env axis added
+    by the env layer; here shapes are single-env).  Reference distributions:
+    legged_robot.py:386-447, 861-888; go2_locomotion_config.py:74-100."""
+    friction: jnp.ndarray          # () terrain friction coefficient
+    kp_scale: jnp.ndarray          # (nu,) motor-strength/EASI stiffness factor
+    kd_scale: jnp.ndarray          # (nu,) damping factor
+    added_base_mass: jnp.ndarray   # () payload [kg]
+    base_com_shift: jnp.ndarray    # (3,) CoM offset [m]
+
+    @staticmethod
+    def nominal(nu: int = 12, dtype=jnp.float32):
+        return EnvParams(
+            friction=jnp.asarray(1.0, dtype),
+            kp_scale=jnp.ones(nu, dtype),
+            kd_scale=jnp.ones(nu, dtype),
+            added_base_mass=jnp.asarray(0.0, dtype),
+            base_com_shift=jnp.zeros(3, dtype),
+        )
+
+
+class Control(NamedTuple):
+    """PD position targets + gains (constant gains live here so control_type
+    variants stay possible)."""
+    target: jnp.ndarray    # (nu,) desired joint positions
+    kp: jnp.ndarray        # (nu,)
+    kd: jnp.ndarray        # (nu,)
+
+
+class EnvState(NamedTuple):
+    """Minimal generalized state carried between substeps (single env)."""
+    base_pos: jnp.ndarray
+    base_quat: jnp.ndarray
+    dof_pos: jnp.ndarray
+    u: jnp.ndarray          # (nv,) [v_base, w_base, qd]
+
+
+def _env_consts(mc: ModelConsts, params: EnvParams) -> ModelConsts:
+    """Apply per-env payload/CoM randomization to the base link inertials."""
+    link_mass = mc.link_mass.at[0].add(params.added_base_mass)
+    link_com = mc.link_com.at[0].add(params.base_com_shift)
+    return dataclasses.replace(mc, link_mass=link_mass, link_com=link_com)
+
+
+def pd_torques(mc: ModelConsts, control: Control, params: EnvParams, dof_pos, dof_vel):
+    """Reference _compute_torques (legged_robot.py:547-579): scaled PD with
+    per-env motor-strength factors, clipped to URDF effort limits."""
+    tau = (
+        params.kp_scale * control.kp * (control.target - dof_pos)
+        - params.kd_scale * control.kd * dof_vel
+    )
+    return jnp.clip(tau, -mc.dof_effort_limit, mc.dof_effort_limit)
+
+
+def substep(
+    mc: ModelConsts,
+    cfg: EngineConfig,
+    grid: hf.HeightGrid,
+    s: EnvState,
+    control: Control,
+    params: EnvParams,
+):
+    """One physics substep.  Returns (new_state, torques, sphere_forces)."""
+    mce = _env_consts(mc, params)
+    gravity = jnp.asarray(cfg.gravity, cfg.dtype)
+
+    ls = kin.fk(mce, s.base_pos, s.base_quat, s.dof_pos)
+    ls = kin.velocities(mce, ls, s.u[:3], s.u[3:6], s.u[6:])
+    axes = kin.world_axes(mce, ls)
+
+    tau_j = pd_torques(mce, control, params, s.dof_pos, s.u[6:])
+    tau = jnp.concatenate([jnp.zeros(6, cfg.dtype), tau_j])
+
+    M = dyn.mass_matrix(mce, ls, axes)
+    C = dyn.bias_forces(mce, ls, axes, s.u[6:], gravity)
+    factors = dyn.factor_mass_matrix(M)
+
+    con = ct.detect(mce, ls, axes, grid)
+
+    if cfg.solver == "pgs":
+        u_free = s.u + cfg.dt * dyn.solve_mass(factors, tau - C)
+        u_new, _, sph_force = ct.pgs_solve(
+            con, factors, u_free, params.friction, cfg.dt,
+            iters=cfg.pgs_iters, baumgarte=cfg.baumgarte,
+            slop=cfg.contact_slop, max_depen_vel=cfg.max_depenetration_vel,
+            restitution=cfg.restitution,
+        )
+    else:
+        f_world = ct.soft_forces(
+            con, s.u, params.friction, kn=cfg.soft_kn, cn=cfg.soft_cn, kt=cfg.soft_kt
+        )
+        # project world contact forces into generalized coords: tau_c = Jp^T f
+        Jp = jnp.einsum("sba,sbv->sav", con.frame, con.Jc)  # undo frame rot
+        tau_c = jnp.einsum("sav,sa->v", Jp, f_world)
+        u_new = s.u + cfg.dt * dyn.solve_mass(factors, tau + tau_c - C)
+        sph_force = f_world
+
+    # semi-implicit Euler
+    base_pos = s.base_pos + cfg.dt * u_new[:3]
+    base_quat = qm.quat_integrate(s.base_quat, u_new[3:6], cfg.dt)
+    dof_pos = s.dof_pos + cfg.dt * u_new[6:]
+    qd = u_new[6:]
+
+    if cfg.enforce_joint_limits:
+        clamped = jnp.clip(dof_pos, mc.dof_limit_lower, mc.dof_limit_upper)
+        qd = jnp.where(clamped == dof_pos, qd, 0.0)
+        dof_pos = clamped
+        qd = jnp.clip(qd, -mc.dof_velocity_limit, mc.dof_velocity_limit)
+
+    u_new = jnp.concatenate([u_new[:6], qd])
+    return EnvState(base_pos, base_quat, dof_pos, u_new), tau_j, sph_force
+
+
+def control_step(
+    mc: ModelConsts,
+    cfg: EngineConfig,
+    grid: hf.HeightGrid,
+    s: EnvState,
+    control: Control,
+    params: EnvParams,
+):
+    """`decimation` substeps (the reference's 200 Hz sim / 50 Hz control
+    split).  Returns (state, torques, body_forces (B,3), max_body_forces)."""
+
+    def body(carry, _):
+        st, _ = carry
+        st2, tau, sphf = substep(mc, cfg, grid, st, control, params)
+        # net contact force per reported body
+        bf = jax.ops.segment_sum(sphf, mc.sph_body, num_segments=mc.n_bodies)
+        return (st2, tau), bf
+
+    (s2, tau), bf_all = jax.lax.scan(body, (s, jnp.zeros(mc.nu, cfg.dtype)), None, length=cfg.decimation)
+    body_forces = bf_all[-1]
+    max_body_forces = jnp.max(jnp.abs(bf_all), axis=0)
+    return s2, tau, body_forces, max_body_forces
+
+
+def refresh_sim_state(mc: ModelConsts, s: EnvState):
+    """Recompute reported body states after a control step (the analogue of
+    refresh_*_tensor, legged_robot.py:124-135).  Returns body pos/quat/vel/
+    angvel tuples (B, ...) for a single env."""
+    ls = kin.fk(mc, s.base_pos, s.base_quat, s.dof_pos)
+    ls = kin.velocities(mc, ls, s.u[:3], s.u[3:6], s.u[6:])
+    return kin.body_states(mc, ls)

@@ -1,0 +1,86 @@
+"""Heightfield terrain queries.
+
+The world is a regular height grid (the same representation the reference
+builds with isaacgym terrain_utils and converts to a trimesh,
+bbc/legged_gym/utils/terrain.py:41-45).  We keep it as a grid and sample it
+bilinearly on device — collision, scandots, and the depth ray-caster all read
+the same `HeightGrid`.
+
+A flat plane is a degenerate 2x2 zero grid (single code path, no branches).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class HeightGrid(NamedTuple):
+    height: jnp.ndarray       # (H, W) meters
+    hscale: float             # grid spacing [m]
+    origin: jnp.ndarray       # (2,) world xy of grid node (0, 0)
+
+    @property
+    def shape(self):
+        return self.height.shape
+
+
+def flat_grid(size: float = 1.0, dtype=jnp.float32) -> HeightGrid:
+    return HeightGrid(
+        height=jnp.zeros((2, 2), dtype),
+        hscale=size,
+        origin=jnp.asarray([-size, -size], dtype),
+    )
+
+
+def from_numpy(height_m: np.ndarray, hscale: float, origin_xy=(0.0, 0.0)) -> HeightGrid:
+    return HeightGrid(
+        height=jnp.asarray(height_m, jnp.float32),
+        hscale=float(hscale),
+        origin=jnp.asarray(origin_xy, jnp.float32),
+    )
+
+
+def _grid_coords(g: HeightGrid, x, y):
+    gx = (x - g.origin[0]) / g.hscale
+    gy = (y - g.origin[1]) / g.hscale
+    H, W = g.height.shape
+    gx = jnp.clip(gx, 0.0, H - 1.001)
+    gy = jnp.clip(gy, 0.0, W - 1.001)
+    return gx, gy
+
+
+def sample_height(g: HeightGrid, x, y):
+    """Bilinear height at world (x, y); x/y broadcast to any shape."""
+    gx, gy = _grid_coords(g, x, y)
+    x0 = jnp.floor(gx).astype(jnp.int32)
+    y0 = jnp.floor(gy).astype(jnp.int32)
+    fx = gx - x0
+    fy = gy - y0
+    h00 = g.height[x0, y0]
+    h10 = g.height[x0 + 1, y0]
+    h01 = g.height[x0, y0 + 1]
+    h11 = g.height[x0 + 1, y0 + 1]
+    return (
+        h00 * (1 - fx) * (1 - fy)
+        + h10 * fx * (1 - fy)
+        + h01 * (1 - fx) * fy
+        + h11 * fx * fy
+    )
+
+
+def sample_height_nearest(g: HeightGrid, x, y):
+    """Nearest-node height — matches the reference's integer height lookup
+    for measured scandots (legged_robot.py:1174-1228)."""
+    gx, gy = _grid_coords(g, x, y)
+    return g.height[jnp.round(gx).astype(jnp.int32), jnp.round(gy).astype(jnp.int32)]
+
+
+def sample_normal(g: HeightGrid, x, y, eps: float = None):
+    """Unit surface normal from central differences of the bilinear surface."""
+    e = g.hscale if eps is None else eps
+    dhdx = (sample_height(g, x + e, y) - sample_height(g, x - e, y)) / (2 * e)
+    dhdy = (sample_height(g, x, y + e) - sample_height(g, x, y - e)) / (2 * e)
+    n = jnp.stack([-dhdx, -dhdy, jnp.ones_like(dhdx)], axis=-1)
+    return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
