@@ -130,6 +130,66 @@ def pgs_solve(
     return u_new, lam, force_w
 
 
+def jacobi_solve(
+    con: Contacts,
+    factors: MassFactors,
+    u_free: jnp.ndarray,
+    mu,
+    dt: float,
+    iters: int = 10,
+    relax: float = 0.35,
+    baumgarte: float = 0.2,
+    slop: float = 0.002,
+    max_depen_vel: float = 1.0,
+    restitution: float = 0.0,
+):
+    """Block-preconditioned projected Jacobi on the full contact LCP.
+
+    TPU-friendly variant of `pgs_solve`: every iteration is one batched
+    (3S x 3S) Delassus matvec + a parallel per-contact 3x3 block solve with
+    friction-cone projection and under-relaxation — no sequential sweep over
+    contacts, so the whole solve is ~`iters` fused ops instead of S*iters.
+    Converges to the same fixed point as Gauss-Seidel for our contact counts
+    (validated against pgs_solve in tests/test_contact.py).
+    """
+    S = con.phi.shape[0]
+    nv = u_free.shape[0]
+    dt_ = u_free.dtype
+    active = (con.phi < 0.0).astype(dt_)
+
+    JcT = con.Jc.reshape(S * 3, nv).T
+    MinvJcT_flat = solve_mass(factors, JcT)                    # (nv, 3S)
+    G_full = con.Jc.reshape(S * 3, nv) @ MinvJcT_flat          # (3S, 3S)
+    Gblk = G_full.reshape(S, 3, S, 3)
+    diag = Gblk[jnp.arange(S), :, jnp.arange(S), :]            # (S, 3, 3)
+    eye = jnp.eye(3, dtype=dt_)
+    Dinv = _inv3(diag + 1e-6 * eye)
+
+    depth = jnp.maximum(-con.phi - slop, 0.0)
+    bias_n = jnp.minimum(baumgarte / dt * depth, max_depen_vel)
+    v_free = (con.Jc.reshape(S * 3, nv) @ u_free).reshape(S, 3)
+    bias_n = bias_n + restitution * jnp.maximum(-v_free[:, 2], 0.0)
+    bias = jnp.zeros((S, 3), dt_).at[:, 2].set(bias_n)
+
+    def project(lam):
+        ln = jnp.maximum(lam[:, 2], 0.0) * active
+        lt = lam[:, :2]
+        tn = jnp.linalg.norm(lt, axis=-1)
+        scale = jnp.minimum(1.0, mu * ln / jnp.maximum(tn, 1e-9))
+        return jnp.concatenate([lt * (scale * active)[:, None], ln[:, None]], axis=-1)
+
+    def body(lam, _):
+        v = v_free + (G_full @ lam.reshape(-1)).reshape(S, 3) - bias
+        dlam = -jnp.einsum("sab,sb->sa", Dinv, v)
+        lam = project(lam + relax * dlam)
+        return lam, None
+
+    lam, _ = jax.lax.scan(body, jnp.zeros((S, 3), dt_), None, length=iters)
+    u_new = u_free + MinvJcT_flat @ lam.reshape(-1)
+    force_w = jnp.einsum("sab,sa->sb", con.frame, lam) / dt
+    return u_new, lam, force_w
+
+
 def soft_forces(
     con: Contacts,
     u: jnp.ndarray,

@@ -29,8 +29,10 @@ class EngineConfig:
     dt: float = 1.0 / 200.0          # sim dt (reference legged_robot_config.py:174)
     decimation: int = 4              # control dt = dt * decimation (go2 cfg:60)
     gravity: Tuple[float, float, float] = (0.0, 0.0, -9.81)
-    solver: str = "pgs"              # "pgs" | "soft"
+    solver: str = "jacobi"           # "jacobi" | "pgs" | "soft"
     pgs_iters: int = 4               # ~ physx num_position_iterations (cfg:182)
+    jacobi_iters: int = 10
+    jacobi_relax: float = 0.6
     baumgarte: float = 0.2
     contact_slop: float = 0.002
     max_depenetration_vel: float = 1.0   # physx cfg:187
@@ -123,13 +125,19 @@ def substep(
 
     con = ct.detect(mce, ls, axes, grid)
 
-    if cfg.solver == "pgs":
+    if cfg.solver in ("pgs", "jacobi"):
         u_free = s.u + cfg.dt * dyn.solve_mass(factors, tau - C)
-        u_new, _, sph_force = ct.pgs_solve(
+        solve = ct.pgs_solve if cfg.solver == "pgs" else ct.jacobi_solve
+        kw = (
+            dict(iters=cfg.pgs_iters)
+            if cfg.solver == "pgs"
+            else dict(iters=cfg.jacobi_iters, relax=cfg.jacobi_relax)
+        )
+        u_new, _, sph_force = solve(
             con, factors, u_free, params.friction, cfg.dt,
-            iters=cfg.pgs_iters, baumgarte=cfg.baumgarte,
+            baumgarte=cfg.baumgarte,
             slop=cfg.contact_slop, max_depen_vel=cfg.max_depenetration_vel,
-            restitution=cfg.restitution,
+            restitution=cfg.restitution, **kw,
         )
     else:
         f_world = ct.soft_forces(
