@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from agility_tpu.physics import heightfield as hf
 from agility_tpu.physics.constants import ModelConsts
 from agility_tpu.physics.dynamics import MassFactors, _inv3, solve_mass
-from agility_tpu.physics.kinematics import LinkState, point_jacobian
+from agility_tpu.physics.kinematics import LinkState, points_jacobian
 
 
 class Contacts(NamedTuple):
@@ -53,11 +53,7 @@ def detect(mc: ModelConsts, ls: LinkState, axes_w, grid: hf.HeightGrid) -> Conta
     frame = jnp.stack([t1, t2, n], axis=1)                     # (S, 3, 3)
     # point Jacobians at contact points (sphere surface ~ center; the radius
     # lever along n is negligible for our sphere sizes)
-    Jp = []
-    for s in range(S):
-        Jv, _ = point_jacobian(mc, ls, axes_w, int(sl[s]), centers[s])
-        Jp.append(Jv)
-    Jp = jnp.stack(Jp)                                         # (S, 3, nv)
+    Jp = points_jacobian(mc, ls, axes_w, sl, centers)          # (S, 3, nv)
     Jc = frame @ Jp                                            # (S, 3, nv)
     return Contacts(phi=phi, frame=frame, Jc=Jc, centers=centers)
 

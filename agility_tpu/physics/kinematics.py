@@ -116,6 +116,20 @@ def com_jacobians(mc: ModelConsts, ls: LinkState, axes_w):
     return Jv, Jw
 
 
+def points_jacobian(mc: ModelConsts, ls: LinkState, axes_w, link_idx, points_w):
+    """Vectorized linear-velocity Jacobians for a set of world points rigidly
+    attached to links: link_idx (P,) numpy, points_w (P, 3) -> (P, 3, nv)."""
+    P = points_w.shape[0]
+    r = points_w - ls.pos[0]                                   # (P, 3)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=points_w.dtype), (P, 3, 3))
+    base = jnp.concatenate([eye, -qm.skew(r)], axis=-1)        # (P, 3, 6)
+    mask = mc.ancestors[link_idx]                              # (P, nu)
+    jp = ls.pos[mc.dof_link]                                   # (nu, 3)
+    lever = jnp.cross(axes_w[None, :, :], points_w[:, None, :] - jp[None, :, :])
+    Jj = jnp.swapaxes(mask[:, :, None] * lever, 1, 2)          # (P, 3, nu)
+    return jnp.concatenate([base, Jj], axis=-1)                # (P, 3, nv)
+
+
 def body_states(mc: ModelConsts, ls: LinkState):
     """Reported rigid-body states: pos (B,3), quat (B,4), vel (B,3), omega
     (B,3) — the layout of the reference's rigid_body_state tensor
