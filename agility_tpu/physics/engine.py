@@ -92,12 +92,13 @@ def _env_consts(mc: ModelConsts, params: EnvParams) -> ModelConsts:
 
 def pd_torques(mc: ModelConsts, control: Control, params: EnvParams, dof_pos, dof_vel):
     """Reference _compute_torques (legged_robot.py:547-579): scaled PD with
-    per-env motor-strength factors, clipped to URDF effort limits."""
+    per-env motor-strength factors, clipped to URDF effort limits.  Returns
+    (clipped, unclipped) — rewards penalize the raw value (torques_org)."""
     tau = (
         params.kp_scale * control.kp * (control.target - dof_pos)
         - params.kd_scale * control.kd * dof_vel
     )
-    return jnp.clip(tau, -mc.dof_effort_limit, mc.dof_effort_limit)
+    return jnp.clip(tau, -mc.dof_effort_limit, mc.dof_effort_limit), tau
 
 
 def substep(
@@ -116,7 +117,7 @@ def substep(
     ls = kin.velocities(mce, ls, s.u[:3], s.u[3:6], s.u[6:])
     axes = kin.world_axes(mce, ls)
 
-    tau_j = pd_torques(mce, control, params, s.dof_pos, s.u[6:])
+    tau_j, tau_org = pd_torques(mce, control, params, s.dof_pos, s.u[6:])
     tau = jnp.concatenate([jnp.zeros(6, cfg.dtype), tau_j])
 
     M = dyn.mass_matrix(mce, ls, axes)
@@ -162,7 +163,7 @@ def substep(
         qd = jnp.clip(qd, -mc.dof_velocity_limit, mc.dof_velocity_limit)
 
     u_new = jnp.concatenate([u_new[:6], qd])
-    return EnvState(base_pos, base_quat, dof_pos, u_new), tau_j, sph_force
+    return EnvState(base_pos, base_quat, dof_pos, u_new), (tau_j, tau_org), sph_force
 
 
 def control_step(
@@ -178,15 +179,16 @@ def control_step(
 
     def body(carry, _):
         st, _ = carry
-        st2, tau, sphf = substep(mc, cfg, grid, st, control, params)
+        st2, taus, sphf = substep(mc, cfg, grid, st, control, params)
         # net contact force per reported body
         bf = jax.ops.segment_sum(sphf, mc.sph_body, num_segments=mc.n_bodies)
-        return (st2, tau), bf
+        return (st2, taus), bf
 
-    (s2, tau), bf_all = jax.lax.scan(body, (s, jnp.zeros(mc.nu, cfg.dtype)), None, length=cfg.decimation)
+    zt = jnp.zeros(mc.nu, cfg.dtype)
+    (s2, taus), bf_all = jax.lax.scan(body, (s, (zt, zt)), None, length=cfg.decimation)
     body_forces = bf_all[-1]
     max_body_forces = jnp.max(jnp.abs(bf_all), axis=0)
-    return s2, tau, body_forces, max_body_forces
+    return s2, taus, body_forces, max_body_forces
 
 
 def refresh_sim_state(mc: ModelConsts, s: EnvState):

@@ -77,6 +77,16 @@ def sample_height_nearest(g: HeightGrid, x, y):
     return g.height[jnp.round(gx).astype(jnp.int32), jnp.round(gy).astype(jnp.int32)]
 
 
+def sample_height_min3(g: HeightGrid, x, y):
+    """Conservative floor-node height: min of the cell node and its +x/+y
+    neighbors — the reference's scandot lookup (legged_robot.py:1218-1228)."""
+    gx, gy = _grid_coords(g, x, y)
+    x0 = jnp.floor(gx).astype(jnp.int32)
+    y0 = jnp.floor(gy).astype(jnp.int32)
+    h = jnp.minimum(g.height[x0, y0], g.height[x0 + 1, y0])
+    return jnp.minimum(h, g.height[x0, y0 + 1])
+
+
 def sample_normal(g: HeightGrid, x, y, eps: float = None):
     """Unit surface normal from central differences of the bilinear surface."""
     e = g.hscale if eps is None else eps

@@ -1,0 +1,95 @@
+"""BBC env integration tests: shapes, determinism, reset semantics."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from agility_tpu.envs.config import Go2LocomotionCfg, EnvCfg, TerrainCfg, smoke_cfg
+from agility_tpu.envs.go2_locomotion import Go2LocomotionEnv
+
+
+@pytest.fixture(scope="module")
+def env():
+    return Go2LocomotionEnv(smoke_cfg(num_envs=8))
+
+
+@pytest.fixture(scope="module")
+def rollout(env):
+    key = jax.random.PRNGKey(0)
+    state = env.init_state(key)
+    step = jax.jit(env.step)
+    outs = []
+    for i in range(10):
+        acts = jax.random.normal(jax.random.PRNGKey(i), (8, 12)) * 0.1
+        state, out = step(state, acts)
+        outs.append(out)
+    return state, outs
+
+
+def test_obs_shapes(env, rollout):
+    state, outs = rollout
+    o = outs[-1]
+    assert o.obs.shape == (8, 671)
+    assert o.privileged_obs.shape == (8, 671)
+    assert o.disc_obs.shape == (8, 49)
+    assert o.rew.shape == (8,)
+    assert np.isfinite(np.asarray(o.obs)).all()
+    assert np.isfinite(np.asarray(o.rew)).all()
+
+
+def test_obs_layout(env, rollout):
+    """Key-pos block of prop obs must be zeroed (legged_robot.py:284);
+    latent c one-hot appears at the tail."""
+    state, outs = rollout
+    o = np.asarray(outs[-1].obs)
+    np.testing.assert_allclose(o[:, 45:57], 0.0)       # flat_key_pos * 0
+    c = o[:, -5:]                                      # latent c one-hot
+    np.testing.assert_allclose(c[:, 0], 1.0)           # walk = category 0
+    np.testing.assert_allclose(c[:, 1:], 0.0)
+
+
+def test_rewards_mostly_positive(env, rollout):
+    _, outs = rollout
+    r = np.concatenate([np.asarray(o.rew) for o in outs])
+    assert (r >= 0).all()  # only_positive_rewards clips at 0
+
+
+def test_deterministic(env):
+    key = jax.random.PRNGKey(0)
+    step = jax.jit(env.step)
+    s1 = env.init_state(key)
+    s2 = env.init_state(key)
+    a = jnp.zeros((8, 12))
+    o1 = step(s1, a)[1]
+    o2 = step(s2, a)[1]
+    np.testing.assert_array_equal(np.asarray(o1.obs), np.asarray(o2.obs))
+
+
+def test_timeout_resets(env):
+    """Run past the episode length; episode_length must wrap."""
+    key = jax.random.PRNGKey(1)
+    state = env.init_state(key)
+    step = jax.jit(env.step)
+    max_len = env.max_episode_length
+    n_steps = max_len + 2
+    saw_reset = False
+    for _ in range(n_steps):
+        state, out = step(state, jnp.zeros((8, 12)))
+        saw_reset |= bool(np.asarray(out.reset).any())
+    assert saw_reset
+    assert int(jnp.max(state.episode_length)) <= max_len + 1
+
+
+def test_full_cfg_builds():
+    """Full rough-terrain mocap config constructs and steps (tiny batch)."""
+    cfg = Go2LocomotionCfg(
+        env=EnvCfg(num_envs=4),
+        terrain=TerrainCfg(num_rows=2, num_cols=2, border_size=5.0),
+    )
+    env = Go2LocomotionEnv(cfg)
+    state = env.init_state(jax.random.PRNGKey(0))
+    state, out = jax.jit(env.step)(state, jnp.zeros((4, 12)))
+    assert np.isfinite(np.asarray(out.obs)).all()
+    assert out.obs.shape == (4, 671)
+    # mocap init: dof positions should differ from default for some envs
+    assert np.asarray(state.latent_c).sum(-1).max() == 1.0
