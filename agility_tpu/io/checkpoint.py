@@ -1,0 +1,48 @@
+"""Checkpointing: msgpack pytree snapshots with latest-resolution.
+
+Logical contents mirror the reference's torch.save dict (actor_critic,
+estimator, discriminator, optimizer states, normalizers, iteration —
+bbc/rsl_rl/runners/on_policy_runner.py:306-339), stored as one flax-
+serialized pytree.  The BBC->TSC weight handoff (tsc loads the frozen BBC
+policy + discriminator + normalizer) is a first-class artifact: `save` /
+`load` work on any pytree, and `load_into` restores into a template with
+matching structure.
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional
+
+import flax.serialization as ser
+
+
+def save(path: str, pytree: Any, step: Optional[int] = None) -> str:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if step is not None:
+        base, ext = os.path.splitext(path)
+        path = f"{base}_{step}{ext or '.msgpack'}"
+    with open(path, "wb") as f:
+        f.write(ser.to_bytes(pytree))
+    return path
+
+
+def load_into(path: str, template: Any) -> Any:
+    with open(path, "rb") as f:
+        return ser.from_bytes(template, f.read())
+
+
+def latest(log_dir: str, prefix: str = "model") -> Optional[str]:
+    """Resolve the newest checkpoint like the reference's get_load_path
+    (bbc/legged_gym/utils/helpers.py:78-99)."""
+    if not os.path.isdir(log_dir):
+        return None
+    best, best_step = None, -1
+    pat = re.compile(rf"{re.escape(prefix)}(?:_(\d+))?\.msgpack$")
+    for name in os.listdir(log_dir):
+        m = pat.match(name)
+        if m:
+            step = int(m.group(1) or 0)
+            if step > best_step:
+                best, best_step = os.path.join(log_dir, name), step
+    return best

@@ -1,0 +1,128 @@
+"""On-policy training runner for the BBC stack.
+
+Python-side orchestration around the fully-jitted `train_iteration`
+(reference: bbc/rsl_rl/runners/on_policy_runner.py).  Keeps wall-clock
+collection/learn counters, TensorBoard scalars, periodic checkpoints, and
+episode-statistic ring buffers — everything else runs on device.
+"""
+from __future__ import annotations
+
+import os
+import time
+from collections import deque
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from agility_tpu.envs.go2_locomotion import Go2LocomotionEnv
+from agility_tpu.io import checkpoint as ckpt
+from agility_tpu.io.metrics import MetricWriter
+from agility_tpu.learn.ssinfogail import AlgoCfg, SSInfoGAIL
+
+
+class OnPolicyRunner:
+    def __init__(self, env: Go2LocomotionEnv, algo_cfg: AlgoCfg = AlgoCfg(),
+                 log_dir: Optional[str] = None, seed: int = 1):
+        self.env = env
+        self.alg = SSInfoGAIL(env, algo_cfg, seed=seed)
+        self.cfg = algo_cfg
+        self.log_dir = log_dir
+        self.writer = MetricWriter(log_dir) if log_dir else None
+        self.save_interval = 100
+        self.current_iteration = 0
+
+        key = jax.random.PRNGKey(seed)
+        k_env, k_train = jax.random.split(key)
+        self.env_state = env.init_state(k_env)
+        self.train_state = self.alg.init_train_state(k_train)
+        self.disc_hist = jnp.repeat(
+            self.env_state.disc_obs[:, None], env.cfg.env.disc_obs_len, axis=1)
+        self._iter = jax.jit(self.alg.train_iteration)
+
+    def learn(self, num_iterations: int, init_at_random_ep_len: bool = True,
+              log_every: int = 10):
+        if init_at_random_ep_len:
+            key = jax.random.PRNGKey(0)
+            self.env_state = self.env_state._replace(
+                episode_length=jax.random.randint(
+                    key, (self.env.num_envs,), 0, self.env.max_episode_length))
+
+        rew_buf = deque(maxlen=100)
+        t_start = time.time()
+        steps_per_iter = self.cfg.num_steps_per_env * self.env.num_envs
+
+        for it in range(self.current_iteration, self.current_iteration + num_iterations):
+            t0 = time.time()
+            self.train_state, self.env_state, self.disc_hist, metrics = self._iter(
+                self.train_state, self.env_state, self.disc_hist, jnp.asarray(it))
+            if (it + 1) % log_every == 0 or it == self.current_iteration:
+                metrics = jax.device_get(metrics)
+                dt_iter = (time.time() - t0)
+                fps = steps_per_iter / max(dt_iter, 1e-9)
+                rew_buf.append(float(metrics["rollout/r_total"]))
+                if self.writer:
+                    self.writer.scalars(metrics, it)
+                    self.writer.scalar("perf/fps", fps, it)
+                    self.writer.flush()
+                print(f"it {it:6d} | r_total {metrics['rollout/r_total']:+.4f} "
+                      f"| r_t {metrics['rollout/r_t']:+.4f} "
+                      f"| surr {metrics['ppo/surrogate']:+.4f} "
+                      f"| disc {metrics['disc/disc']:.4f} "
+                      f"| fps {fps:,.0f}", flush=True)
+            if self.log_dir and (it + 1) % self.save_interval == 0:
+                self.save(it + 1)
+        self.current_iteration += num_iterations
+        total = time.time() - t_start
+        print(f"trained {num_iterations} iters in {total:.1f}s "
+              f"({num_iterations * steps_per_iter / total:,.0f} env-steps/s)")
+
+    # ------------------------------------------------------------------
+
+    def checkpoint_tree(self):
+        ts = self.train_state
+        return {
+            "ac_params": ts.ac_params,
+            "est_params": ts.est_params,
+            "disc_params": ts.disc_params,
+            "disc_norm": ts.disc_norm,
+            "prior_parameters": ts.prior_parameters,
+            "lr_ac": ts.lr_ac,
+            "iteration": jnp.asarray(self.current_iteration),
+        }
+
+    def save(self, step: int):
+        path = ckpt.save(os.path.join(self.log_dir, "model.msgpack"),
+                         jax.device_get(self.checkpoint_tree()), step=step)
+        return path
+
+    def load(self, path: str):
+        restored = ckpt.load_into(path, jax.device_get(self.checkpoint_tree()))
+        ts = self.train_state
+        self.train_state = ts._replace(
+            ac_params=restored["ac_params"],
+            est_params=restored["est_params"],
+            disc_params=restored["disc_params"],
+            disc_norm=restored["disc_norm"],
+            prior_parameters=jnp.asarray(restored["prior_parameters"]),
+            lr_ac=jnp.asarray(restored["lr_ac"]),
+        )
+        self.current_iteration = int(restored["iteration"])
+
+    def get_inference_policy(self):
+        """Deterministic policy (hist-encoded latent), like the reference's
+        get_inference_policy -> act_inference."""
+        ac = self.alg.ac
+        params = self.train_state.ac_params
+        est = self.alg.estimator
+        est_params = self.train_state.est_params
+        s = self.alg.slices
+
+        @jax.jit
+        def policy(obs):
+            pred = est.apply(est_params, obs[:, s.prop])
+            obs = obs.at[:, s.explicit].set(pred)
+            return ac.apply(params, obs, method="action_mean", hist_encoding=True)
+
+        return policy
