@@ -1,0 +1,49 @@
+"""Task registry: name -> (env builder, env cfg, algo cfg).
+
+Same role and task names as the reference's task_registry
+(bbc/legged_gym/utils/task_registry.py:15-148): "go2_locomotion" for the BBC
+stack; the TSC task ("go2") registers from its own module.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Tuple
+
+from agility_tpu.envs import config as bbc_config
+from agility_tpu.learn.ssinfogail import AlgoCfg
+
+_REGISTRY: Dict[str, Tuple[Callable, Callable]] = {}
+
+
+def register(name: str, make_env_cfg: Callable, make_algo_cfg: Callable):
+    _REGISTRY[name] = (make_env_cfg, make_algo_cfg)
+
+
+def get(name: str):
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown task {name!r}; known: {sorted(_REGISTRY)}")
+    return _REGISTRY[name]
+
+
+def names():
+    return sorted(_REGISTRY)
+
+
+register("go2_locomotion", bbc_config.Go2LocomotionCfg, AlgoCfg)
+register("go2_locomotion_smoke", lambda: bbc_config.smoke_cfg(64), AlgoCfg)
+
+
+def apply_overrides(cfg, **kv):
+    """CLI-flag overrides onto the frozen config tree (the counterpart of
+    update_cfg_from_args, bbc/legged_gym/utils/helpers.py:102-168)."""
+    for key, val in kv.items():
+        if val is None:
+            continue
+        parts = key.split(".")
+        def set_in(node, parts, val):
+            if len(parts) == 1:
+                return dataclasses.replace(node, **{parts[0]: val})
+            child = getattr(node, parts[0])
+            return dataclasses.replace(node, **{parts[0]: set_in(child, parts[1:], val)})
+        cfg = set_in(cfg, parts, val)
+    return cfg

@@ -1,0 +1,66 @@
+"""BBC training entry point (reference bbc/legged_gym/scripts/train.py).
+
+Usage:
+  python -m agility_tpu.cli.train_bbc --task go2_locomotion --num_envs 4096 \
+      --max_iterations 200000 --experiment_idx 0 [--resume] [--mocap_dir D]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def get_args():
+    p = argparse.ArgumentParser(description="Train the BBC (go2_locomotion) policy")
+    p.add_argument("--task", default="go2_locomotion")
+    p.add_argument("--num_envs", type=int, default=None)
+    p.add_argument("--max_iterations", type=int, default=1500)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--experiment_idx", type=int, default=0)
+    p.add_argument("--experiment_name", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--checkpoint", default=None, help="explicit checkpoint path")
+    p.add_argument("--mocap_dir", default=None,
+                   help="mocap dataset root (contains mocap_all_lb/ and "
+                        "mocap_all_ulb/); synthetic gaits if omitted")
+    p.add_argument("--log_root", default="logs")
+    p.add_argument("--log_every", type=int, default=10)
+    return p.parse_args()
+
+
+def main():
+    args = get_args()
+
+    from agility_tpu.cli import registry
+    from agility_tpu.envs.go2_locomotion import Go2LocomotionEnv
+    from agility_tpu.io import checkpoint as ckpt
+    from agility_tpu.learn.runner import OnPolicyRunner
+
+    make_env_cfg, make_algo_cfg = registry.get(args.task)
+    cfg = make_env_cfg()
+    cfg = registry.apply_overrides(
+        cfg,
+        **{"env.num_envs": args.num_envs, "seed": args.seed,
+           "mocap_dir": args.mocap_dir})
+
+    exp_name = args.experiment_name or args.task
+    log_dir = os.path.join(args.log_root, exp_name, str(args.experiment_idx))
+
+    env = Go2LocomotionEnv(cfg)
+    runner = OnPolicyRunner(env, make_algo_cfg(), log_dir=log_dir, seed=args.seed)
+
+    if args.resume or args.checkpoint:
+        path = args.checkpoint or ckpt.latest(log_dir)
+        if path:
+            print(f"resuming from {path}")
+            runner.load(path)
+        elif args.resume:
+            print("no checkpoint found; starting fresh")
+
+    runner.learn(args.max_iterations, init_at_random_ep_len=True,
+                 log_every=args.log_every)
+    runner.save(runner.current_iteration)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Benchmark: BBC training throughput on the ambient accelerator.
+
+Prints ONE JSON line:
+  {"metric": "env_steps_per_sec", "value": N, "unit": "env-steps/s",
+   "vs_baseline": N / 57000}
+
+Baseline: the reference's derived RTX 3090 BBC training throughput,
+~57k env-steps/s at 4096 envs (BASELINE.md).  Measured here as full
+training-iteration throughput (rollout + PPO + discriminator updates)
+at 4096 envs, the same accounting the baseline derives from.
+
+Env knobs: BENCH_ENVS (default 4096), BENCH_ITERS (default 5).
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+
+
+def main():
+    from agility_tpu.envs.config import Go2LocomotionCfg, EnvCfg, TerrainCfg, DomainRandCfg
+    from agility_tpu.envs.go2_locomotion import Go2LocomotionEnv
+    from agility_tpu.learn.ssinfogail import AlgoCfg, SSInfoGAIL
+
+    num_envs = int(os.environ.get("BENCH_ENVS", "4096"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+
+    # full BBC configuration (rough terrain, domain rand, mocap init) at the
+    # reference's env count; synthetic gait data keeps the bench hermetic
+    cfg = Go2LocomotionCfg(
+        env=EnvCfg(num_envs=num_envs),
+        terrain=TerrainCfg(num_rows=4, num_cols=4, border_size=10.0),
+    )
+    env = Go2LocomotionEnv(cfg)
+    algo_cfg = AlgoCfg(num_preload_transitions=50_000,
+                       disc_replay_buffer_size=(500_000 // num_envs) * num_envs)
+    alg = SSInfoGAIL(env, algo_cfg, seed=0)
+
+    ts = alg.init_train_state(jax.random.PRNGKey(0))
+    es = env.init_state(jax.random.PRNGKey(1))
+    dh = jnp.repeat(es.disc_obs[:, None], cfg.env.disc_obs_len, axis=1)
+
+    it_fn = jax.jit(alg.train_iteration)
+    t0 = time.time()
+    ts, es, dh, metrics = it_fn(ts, es, dh, jnp.asarray(1))
+    jax.block_until_ready(metrics)
+    sys.stderr.write(f"compile+first iter: {time.time() - t0:.1f}s\n")
+
+    t0 = time.time()
+    for i in range(iters):
+        ts, es, dh, metrics = it_fn(ts, es, dh, jnp.asarray(i + 2))
+    jax.block_until_ready(metrics)
+    dt = (time.time() - t0) / iters
+
+    steps_per_iter = algo_cfg.num_steps_per_env * num_envs
+    env_steps_per_sec = steps_per_iter / dt
+    baseline = 57000.0
+    print(json.dumps({
+        "metric": "env_steps_per_sec",
+        "value": round(env_steps_per_sec, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(env_steps_per_sec / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
