@@ -1,0 +1,118 @@
+"""TSC teacher training runner (reference tsc/rsl_rl/runners/
+on_policy_runner.py learn_RL) plus the BBC->TSC frozen-weight handoff."""
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from agility_tpu.envs.go2_agility import Go2AgilityEnv
+from agility_tpu.io import checkpoint as ckpt
+from agility_tpu.io.metrics import MetricWriter
+from agility_tpu.learn import networks as nets
+from agility_tpu.learn.ppo_tsc import BBCFrozen, TscAlgoCfg, TscPPO
+
+
+def load_bbc_frozen(path: Optional[str], seed: int = 0) -> BBCFrozen:
+    """Load the frozen BBC policy/estimator/discriminator/normalizer from a
+    BBC checkpoint (the analogue of tsc runner.load_bbc :610-661 reading
+    weights/bbc/model.pt).  With no path, fresh-initialized weights are used
+    (untrained low-level controller — for tests/smoke only)."""
+    slices = nets.ObsSlices(57, 4, 29, 10, 11)
+    ac = nets.ActorCritic(num_actions=12, slices=slices)
+    est = nets.Estimator(output_dim=4)
+    disc = nets.Discriminator(dim_c=5)
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    obs0 = jnp.zeros((1, slices.total))
+    template = {
+        "ac_params": ac.init(k1, obs0, obs0),
+        "est_params": est.init(k2, jnp.zeros((1, 57))),
+        "disc_params": disc.init(k3, jnp.zeros((1, 98))),
+        "disc_norm": nets.RunningNormalizer.init(98),
+        "prior_parameters": jnp.full((5,), 0.2),
+        "lr_ac": jnp.asarray(1e-3),
+        "iteration": jnp.asarray(0),
+    }
+    if path:
+        template = ckpt.load_into(path, jax.device_get(template))
+    return BBCFrozen(
+        ac_params=template["ac_params"],
+        est_params=template["est_params"],
+        disc_params=template["disc_params"],
+        disc_norm=jax.tree.map(jnp.asarray, template["disc_norm"]),
+    )
+
+
+class TscOnPolicyRunner:
+    def __init__(self, env: Go2AgilityEnv, bbc: BBCFrozen,
+                 algo_cfg: TscAlgoCfg = TscAlgoCfg(),
+                 log_dir: Optional[str] = None, seed: int = 1):
+        self.env = env
+        self.alg = TscPPO(env, bbc, algo_cfg, seed=seed)
+        self.cfg = algo_cfg
+        self.log_dir = log_dir
+        self.writer = MetricWriter(log_dir) if log_dir else None
+        self.save_interval = 100
+        self.current_iteration = 0
+
+        key = jax.random.PRNGKey(seed)
+        k_env, k_train = jax.random.split(key)
+        self.env_state = env.init_state(k_env)
+        self.train_state = self.alg.init_train_state(k_train)
+        self.disc_hist = jnp.repeat(
+            self.env_state.disc_obs[:, None], env.cfg.env.disc_obs_len, axis=1)
+        self._iter = jax.jit(self.alg.train_iteration)
+
+    def learn(self, num_iterations: int, log_every: int = 10):
+        steps_per_iter = self.cfg.num_steps_per_env * self.env.num_envs
+        t_start = time.time()
+        for it in range(self.current_iteration, self.current_iteration + num_iterations):
+            t0 = time.time()
+            self.train_state, self.env_state, self.disc_hist, metrics = self._iter(
+                self.train_state, self.env_state, self.disc_hist, jnp.asarray(it))
+            if (it + 1) % log_every == 0 or it == self.current_iteration:
+                metrics = jax.device_get(metrics)
+                fps = steps_per_iter / max(time.time() - t0, 1e-9)
+                if self.writer:
+                    self.writer.scalars(metrics, it)
+                    self.writer.scalar("perf/fps", fps, it)
+                    self.writer.scalar(
+                        "Train/mean_success_rate",
+                        float(self.env_state.success_rate), it)
+                    self.writer.flush()
+                print(f"it {it:6d} | r {metrics['rollout/r_total']:+.4f} "
+                      f"| r_t {metrics['rollout/r_t']:+.4f} "
+                      f"| goal {metrics['rollout/goal_idx']:.2f} "
+                      f"| succ {float(self.env_state.success_rate):.3f} "
+                      f"| fps {fps:,.0f}", flush=True)
+            if self.log_dir and (it + 1) % self.save_interval == 0:
+                self.save(it + 1)
+        self.current_iteration += num_iterations
+        total = time.time() - t_start
+        print(f"trained {num_iterations} iters in {total:.1f}s "
+              f"({num_iterations * steps_per_iter / total:,.0f} env-steps/s)")
+
+    def checkpoint_tree(self):
+        ts = self.train_state
+        return {
+            "ac_params": ts.ac_params,
+            "est_params": ts.est_params,
+            "lr": ts.lr,
+            "iteration": jnp.asarray(self.current_iteration),
+        }
+
+    def save(self, step: int):
+        return ckpt.save(os.path.join(self.log_dir, "model.msgpack"),
+                         jax.device_get(self.checkpoint_tree()), step=step)
+
+    def load(self, path: str):
+        restored = ckpt.load_into(path, jax.device_get(self.checkpoint_tree()))
+        self.train_state = self.train_state._replace(
+            ac_params=restored["ac_params"],
+            est_params=restored["est_params"],
+            lr=jnp.asarray(restored["lr"]))
+        self.current_iteration = int(restored["iteration"])

@@ -34,14 +34,15 @@ class Contacts(NamedTuple):
     centers: jnp.ndarray    # (S, 3)
 
 
-def detect(mc: ModelConsts, ls: LinkState, axes_w, grid: hf.HeightGrid) -> Contacts:
+def detect(mc: ModelConsts, ls: LinkState, axes_w, grid: hf.HeightGrid,
+           hf_weights=None) -> Contacts:
     """Sphere-vs-heightfield narrow phase + contact frames + Jacobians."""
     S = len(mc.sph_radius)
     sl = mc.sph_link
     off_w = _rotate_rows(ls.quat[sl], mc.sph_offset)
     centers = ls.pos[sl] + off_w                               # (S, 3)
-    h = hf.sample_height(grid, centers[:, 0], centers[:, 1])   # (S,)
-    n = hf.sample_normal(grid, centers[:, 0], centers[:, 1])   # (S, 3)
+    h = hf.sample_height(grid, centers[:, 0], centers[:, 1], hf_weights)
+    n = hf.sample_normal(grid, centers[:, 0], centers[:, 1], hf_weights)
     # distance along the surface normal from the (locally planar) surface
     phi = (centers[:, 2] - h) * n[:, 2] - mc.sph_radius
     # tangent basis: t1 = normalize(x - (x.n)n) (x never parallel to n for

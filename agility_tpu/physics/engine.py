@@ -55,6 +55,7 @@ class EnvParams(NamedTuple):
     kd_scale: jnp.ndarray          # (nu,) damping factor
     added_base_mass: jnp.ndarray   # () payload [kg]
     base_com_shift: jnp.ndarray    # (3,) CoM offset [m]
+    hf_weights: jnp.ndarray = None  # (L,) movable heightfield layer offsets
 
     @staticmethod
     def nominal(nu: int = 12, dtype=jnp.float32):
@@ -124,7 +125,7 @@ def substep(
     C = dyn.bias_forces(mce, ls, axes, s.u[6:], gravity)
     factors = dyn.factor_mass_matrix(M)
 
-    con = ct.detect(mce, ls, axes, grid)
+    con = ct.detect(mce, ls, axes, grid, params.hf_weights)
 
     if cfg.solver in ("pgs", "jacobi"):
         u_free = s.u + cfg.dt * dyn.solve_mass(factors, tau - C)

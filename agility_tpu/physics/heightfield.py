@@ -20,6 +20,12 @@ class HeightGrid(NamedTuple):
     height: jnp.ndarray       # (H, W) meters
     hscale: float             # grid spacing [m]
     origin: jnp.ndarray       # (2,) world xy of grid node (0, 0)
+    # optional movable layer tags (TSC obstacle course: bar beam / tire sill,
+    # DOF-driven actors in the reference, tsc/.../legged_robot.py:1370-1427).
+    # Cells tagged with layer l>0 get `weights[l-1]` added to their height at
+    # sample time; the per-env weights vector is threaded via
+    # EnvParams.hf_weights, so curriculum height changes are pure array ops.
+    layer_id: jnp.ndarray = None    # (H, W) int8 or None
 
     @property
     def shape(self):
@@ -34,11 +40,13 @@ def flat_grid(size: float = 1.0, dtype=jnp.float32) -> HeightGrid:
     )
 
 
-def from_numpy(height_m: np.ndarray, hscale: float, origin_xy=(0.0, 0.0)) -> HeightGrid:
+def from_numpy(height_m: np.ndarray, hscale: float, origin_xy=(0.0, 0.0),
+               layer_id: np.ndarray = None) -> HeightGrid:
     return HeightGrid(
         height=jnp.asarray(height_m, jnp.float32),
         hscale=float(hscale),
         origin=jnp.asarray(origin_xy, jnp.float32),
+        layer_id=None if layer_id is None else jnp.asarray(layer_id, jnp.int8),
     )
 
 
@@ -51,17 +59,26 @@ def _grid_coords(g: HeightGrid, x, y):
     return gx, gy
 
 
-def sample_height(g: HeightGrid, x, y):
+def _node(g: HeightGrid, xi, yi, weights):
+    """Effective height at integer nodes (gather + movable-layer offset)."""
+    h = g.height[xi, yi]
+    if g.layer_id is None or weights is None:
+        return h
+    w = jnp.concatenate([jnp.zeros((1,), h.dtype), weights])
+    return h + w[g.layer_id[xi, yi].astype(jnp.int32)]
+
+
+def sample_height(g: HeightGrid, x, y, weights=None):
     """Bilinear height at world (x, y); x/y broadcast to any shape."""
     gx, gy = _grid_coords(g, x, y)
     x0 = jnp.floor(gx).astype(jnp.int32)
     y0 = jnp.floor(gy).astype(jnp.int32)
     fx = gx - x0
     fy = gy - y0
-    h00 = g.height[x0, y0]
-    h10 = g.height[x0 + 1, y0]
-    h01 = g.height[x0, y0 + 1]
-    h11 = g.height[x0 + 1, y0 + 1]
+    h00 = _node(g, x0, y0, weights)
+    h10 = _node(g, x0 + 1, y0, weights)
+    h01 = _node(g, x0, y0 + 1, weights)
+    h11 = _node(g, x0 + 1, y0 + 1, weights)
     return (
         h00 * (1 - fx) * (1 - fy)
         + h10 * fx * (1 - fy)
@@ -70,27 +87,27 @@ def sample_height(g: HeightGrid, x, y):
     )
 
 
-def sample_height_nearest(g: HeightGrid, x, y):
+def sample_height_nearest(g: HeightGrid, x, y, weights=None):
     """Nearest-node height — matches the reference's integer height lookup
     for measured scandots (legged_robot.py:1174-1228)."""
     gx, gy = _grid_coords(g, x, y)
-    return g.height[jnp.round(gx).astype(jnp.int32), jnp.round(gy).astype(jnp.int32)]
+    return _node(g, jnp.round(gx).astype(jnp.int32), jnp.round(gy).astype(jnp.int32), weights)
 
 
-def sample_height_min3(g: HeightGrid, x, y):
+def sample_height_min3(g: HeightGrid, x, y, weights=None):
     """Conservative floor-node height: min of the cell node and its +x/+y
     neighbors — the reference's scandot lookup (legged_robot.py:1218-1228)."""
     gx, gy = _grid_coords(g, x, y)
     x0 = jnp.floor(gx).astype(jnp.int32)
     y0 = jnp.floor(gy).astype(jnp.int32)
-    h = jnp.minimum(g.height[x0, y0], g.height[x0 + 1, y0])
-    return jnp.minimum(h, g.height[x0, y0 + 1])
+    hm = jnp.minimum(_node(g, x0, y0, weights), _node(g, x0 + 1, y0, weights))
+    return jnp.minimum(hm, _node(g, x0, y0 + 1, weights))
 
 
-def sample_normal(g: HeightGrid, x, y, eps: float = None):
+def sample_normal(g: HeightGrid, x, y, weights=None, eps: float = None):
     """Unit surface normal from central differences of the bilinear surface."""
     e = g.hscale if eps is None else eps
-    dhdx = (sample_height(g, x + e, y) - sample_height(g, x - e, y)) / (2 * e)
-    dhdy = (sample_height(g, x, y + e) - sample_height(g, x, y - e)) / (2 * e)
+    dhdx = (sample_height(g, x + e, y, weights) - sample_height(g, x - e, y, weights)) / (2 * e)
+    dhdy = (sample_height(g, x, y + e, weights) - sample_height(g, x, y - e, weights)) / (2 * e)
     n = jnp.stack([-dhdx, -dhdy, jnp.ones_like(dhdx)], axis=-1)
     return n / jnp.linalg.norm(n, axis=-1, keepdims=True)

@@ -1,0 +1,88 @@
+"""TSC agility env + teacher training smoke tests."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from agility_tpu.envs.tsc_config import tsc_smoke_cfg
+from agility_tpu.envs.go2_agility import Go2AgilityEnv
+from agility_tpu.learn.ppo_tsc import TscAlgoCfg
+from agility_tpu.learn.runner_tsc import TscOnPolicyRunner, load_bbc_frozen
+from agility_tpu.terrain import obstacle as obst_gen
+
+
+def test_course_generation():
+    cfg = tsc_smoke_cfg(num_envs=4, courses=2).obstacle
+    world = obst_gen.generate(cfg, seed=0)
+    assert world.goals.shape == (2, 26, 3)
+    assert set(np.unique(world.obst_types)) == set(range(6))
+    # each course has all six obstacle types exactly once
+    for ci in range(2):
+        assert sorted(world.obst_types[ci]) == list(range(6))
+    # heights are sane (tire sill canonical profile dips to -0.4 until the
+    # per-env tire height weight is added)
+    assert world.height.max() <= 2.01
+    assert world.height.min() >= -0.41
+    # movable layers exist (bar + tire)
+    assert (world.layer_id == obst_gen.LAYER_BAR).sum() > 0
+    assert (world.layer_id == obst_gen.LAYER_TIRE).sum() > 0
+    # goals live inside their course cells (x within [-5, rows*7+5])
+    assert np.isfinite(world.goals).all()
+
+
+@pytest.fixture(scope="module")
+def env():
+    return Go2AgilityEnv(tsc_smoke_cfg(num_envs=4, courses=2))
+
+
+def test_env_shapes_and_step(env):
+    state = env.init_state(jax.random.PRNGKey(0))
+    assert state.obs_buf.shape == (4, 800)
+    assert state.obs_bbc_buf.shape == (4, 671)
+    # hierarchical bridge: random HL actions -> commands in per-mode ranges
+    hl = jnp.concatenate(
+        [jnp.zeros((4, 1)),  # discrete: first active mode (trot)
+         jnp.zeros((4, 18))], axis=-1)
+    state2, next_commands = env.set_commands(state, hl)
+    assert next_commands.shape == (4, 11)
+    c = np.asarray(state2.latent_c)
+    np.testing.assert_allclose(c[:, 2], 1.0)  # trot == global mode 2
+    # mid-range continuous action 0 -> vx at the middle of trot range
+    vx = np.asarray(state2.commands[:, 0])
+    if not env.cfg.domain_rand.randomize_action:
+        np.testing.assert_allclose(vx, 1.0, atol=1e-5)  # (0.5+1.5)/2
+    step = jax.jit(env.step)
+    state3, out = step(state2, jnp.zeros((4, 12)))
+    assert np.isfinite(np.asarray(out.obs)).all()
+    assert np.isfinite(np.asarray(out.rew)).all()
+    assert out.disc_obs.shape == (4, 49)
+
+
+def test_goal_progression(env):
+    """Teleport the robot onto its first goal: the reach machinery must
+    advance the goal index within a few steps."""
+    state = env.init_state(jax.random.PRNGKey(1))
+    goal = state.cur_goals
+    sim = state.sim._replace(
+        base_pos=state.sim.base_pos.at[:, :2].set(goal[:, :2]))
+    state = state._replace(sim=sim)
+    step = jax.jit(env.step)
+    for _ in range(4):
+        state, out = step(state, jnp.zeros((4, 12)))
+        sim = state.sim._replace(
+            base_pos=state.sim.base_pos.at[:, :2].set(state.cur_goals[:, :2]),
+            u=state.sim.u * 0)
+        state = state._replace(sim=sim)
+    assert int(jnp.max(state.cur_goal_idx)) >= 1
+
+
+def test_tsc_training_smoke(tmp_path):
+    env = Go2AgilityEnv(tsc_smoke_cfg(num_envs=4, courses=2))
+    bbc = load_bbc_frozen(None)
+    cfg = TscAlgoCfg(num_steps_per_env=4, num_learning_epochs=1, num_mini_batches=2)
+    runner = TscOnPolicyRunner(env, bbc, cfg, log_dir=str(tmp_path), seed=0)
+    runner.learn(2, log_every=1)
+    flat, _ = jax.flatten_util.ravel_pytree(runner.train_state.ac_params)
+    assert np.isfinite(np.asarray(flat)).all()
+    p = runner.save(2)
+    runner.load(p)
