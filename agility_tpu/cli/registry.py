@@ -29,8 +29,21 @@ def names():
     return sorted(_REGISTRY)
 
 
+def _tsc_cfg():
+    from agility_tpu.envs.tsc_config import Go2AgilityCfg
+
+    return Go2AgilityCfg()
+
+
+def _tsc_algo_cfg():
+    from agility_tpu.learn.ppo_tsc import TscAlgoCfg
+
+    return TscAlgoCfg()
+
+
 register("go2_locomotion", bbc_config.Go2LocomotionCfg, AlgoCfg)
 register("go2_locomotion_smoke", lambda: bbc_config.smoke_cfg(64), AlgoCfg)
+register("go2", _tsc_cfg, _tsc_algo_cfg)   # TSC agility task (reference name)
 
 
 def apply_overrides(cfg, **kv):

@@ -52,9 +52,15 @@ class OnPolicyRunner:
         rew_buf = deque(maxlen=100)
         t_start = time.time()
         steps_per_iter = self.cfg.num_steps_per_env * self.env.num_envs
+        profile_dir = os.environ.get("AGILITY_PROFILE_DIR")
 
         for it in range(self.current_iteration, self.current_iteration + num_iterations):
             t0 = time.time()
+            if profile_dir and it == self.current_iteration + 2:
+                jax.profiler.start_trace(profile_dir)
+            if profile_dir and it == self.current_iteration + 4:
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {profile_dir}")
             self.train_state, self.env_state, self.disc_hist, metrics = self._iter(
                 self.train_state, self.env_state, self.disc_hist, jnp.asarray(it))
             if (it + 1) % log_every == 0 or it == self.current_iteration:

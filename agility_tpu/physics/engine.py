@@ -43,6 +43,7 @@ class EngineConfig:
     soft_kt: float = 500.0
     # joint handling
     enforce_joint_limits: bool = True
+    fast: bool = True        # layout-optimized dynamics/contact (fastpath.py)
     dtype: object = jnp.float32
 
 
@@ -121,35 +122,57 @@ def substep(
     tau_j, tau_org = pd_torques(mce, control, params, s.dof_pos, s.u[6:])
     tau = jnp.concatenate([jnp.zeros(6, cfg.dtype), tau_j])
 
-    M = dyn.mass_matrix(mce, ls, axes)
-    C = dyn.bias_forces(mce, ls, axes, s.u[6:], gravity)
-    factors = dyn.factor_mass_matrix(M)
+    if cfg.fast:
+        from agility_tpu.physics import fastpath as fp
 
-    con = ct.detect(mce, ls, axes, grid, params.hf_weights)
-
-    if cfg.solver in ("pgs", "jacobi"):
+        M, C = fp.mass_and_bias(mce, ls, axes, s.u[6:], gravity)
+        factors = dyn.factor_mass_matrix(M)
+        phi, normals, JpT = fp.detect_T(mce, ls, axes, grid, params.hf_weights)
         u_free = s.u + cfg.dt * dyn.solve_mass(factors, tau - C)
-        solve = ct.pgs_solve if cfg.solver == "pgs" else ct.jacobi_solve
-        kw = (
-            dict(iters=cfg.pgs_iters)
-            if cfg.solver == "pgs"
-            else dict(iters=cfg.jacobi_iters, relax=cfg.jacobi_relax)
-        )
-        u_new, _, sph_force = solve(
-            con, factors, u_free, params.friction, cfg.dt,
-            baumgarte=cfg.baumgarte,
-            slop=cfg.contact_slop, max_depen_vel=cfg.max_depenetration_vel,
-            restitution=cfg.restitution, **kw,
-        )
+        if cfg.solver in ("pgs", "jacobi"):
+            u_new, sph_force = fp.jacobi_solve_world(
+                phi, normals, JpT, factors, u_free, params.friction, cfg.dt,
+                iters=cfg.jacobi_iters, relax=cfg.jacobi_relax,
+                baumgarte=cfg.baumgarte, slop=cfg.contact_slop,
+                max_depen_vel=cfg.max_depenetration_vel,
+                restitution=cfg.restitution)
+        else:
+            f_world = fp.soft_forces_world(
+                phi, normals, JpT, s.u, params.friction,
+                kn=cfg.soft_kn, cn=cfg.soft_cn, kt=cfg.soft_kt)
+            tau_c = JpT @ f_world.reshape(-1)
+            u_new = s.u + cfg.dt * dyn.solve_mass(factors, tau + tau_c - C)
+            sph_force = f_world
     else:
-        f_world = ct.soft_forces(
-            con, s.u, params.friction, kn=cfg.soft_kn, cn=cfg.soft_cn, kt=cfg.soft_kt
-        )
-        # project world contact forces into generalized coords: tau_c = Jp^T f
-        Jp = jnp.einsum("sba,sbv->sav", con.frame, con.Jc)  # undo frame rot
-        tau_c = jnp.einsum("sav,sa->v", Jp, f_world)
-        u_new = s.u + cfg.dt * dyn.solve_mass(factors, tau + tau_c - C)
-        sph_force = f_world
+        M = dyn.mass_matrix(mce, ls, axes)
+        C = dyn.bias_forces(mce, ls, axes, s.u[6:], gravity)
+        factors = dyn.factor_mass_matrix(M)
+
+        con = ct.detect(mce, ls, axes, grid, params.hf_weights)
+
+        if cfg.solver in ("pgs", "jacobi"):
+            u_free = s.u + cfg.dt * dyn.solve_mass(factors, tau - C)
+            solve = ct.pgs_solve if cfg.solver == "pgs" else ct.jacobi_solve
+            kw = (
+                dict(iters=cfg.pgs_iters)
+                if cfg.solver == "pgs"
+                else dict(iters=cfg.jacobi_iters, relax=cfg.jacobi_relax)
+            )
+            u_new, _, sph_force = solve(
+                con, factors, u_free, params.friction, cfg.dt,
+                baumgarte=cfg.baumgarte,
+                slop=cfg.contact_slop, max_depen_vel=cfg.max_depenetration_vel,
+                restitution=cfg.restitution, **kw,
+            )
+        else:
+            f_world = ct.soft_forces(
+                con, s.u, params.friction, kn=cfg.soft_kn, cn=cfg.soft_cn, kt=cfg.soft_kt
+            )
+            # project world contact forces into generalized coords: tau_c = Jp^T f
+            Jp = jnp.einsum("sba,sbv->sav", con.frame, con.Jc)  # undo frame rot
+            tau_c = jnp.einsum("sav,sa->v", Jp, f_world)
+            u_new = s.u + cfg.dt * dyn.solve_mass(factors, tau + tau_c - C)
+            sph_force = f_world
 
     # semi-implicit Euler
     base_pos = s.base_pos + cfg.dt * u_new[:3]
