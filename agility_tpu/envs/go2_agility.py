@@ -109,7 +109,8 @@ class Go2AgilityEnv:
         self.engine_cfg = eng.EngineConfig(
             dt=cfg.sim.dt, decimation=cfg.control.decimation,
             solver=cfg.sim.solver, jacobi_iters=cfg.sim.jacobi_iters,
-            jacobi_relax=cfg.sim.jacobi_relax)
+            jacobi_relax=cfg.sim.jacobi_relax,
+            patch_size=32)   # 1.6 m span at the 0.05 m course scale
 
         # ---- obstacle course world ----
         world = obst_gen.generate(cfg.obstacle, seed=cfg.seed)
@@ -334,7 +335,7 @@ class Go2AgilityEnv:
         control = eng.Control(target=target, kp=jnp.tile(self.kp, (N, 1)),
                               kd=jnp.tile(self.kd, (N, 1)))
 
-        sim, (tau, tau_org), body_forces, _ = jax.vmap(
+        sim, (tau, tau_org), body_forces, _, _ = jax.vmap(
             lambda si, ci, pi: eng.control_step(self.mc, self.engine_cfg, self.grid, si, ci, pi)
         )(state.sim, control, params)
 
@@ -501,6 +502,15 @@ class Go2AgilityEnv:
     def _measure_heights(self, state, base_pos, base_quat):
         w = jnp.stack([self.bar_h + state.bar_bias, self.tire_h + state.tire_bias], -1)
         pts = qm.quat_apply_yaw(base_quat[:, None, :], self.height_points[None]) + base_pos[:, None, :]
+        if self.engine_cfg.fast and self.engine_cfg.patch_size:
+            from agility_tpu.physics import patch as pt
+
+            # TSC scandots reach ~1.3 m from the base at 0.05 m scale
+            size = max(self.engine_cfg.patch_size, 56)
+            return jax.vmap(
+                lambda bp, wi, xy: pt.sample_height_min3(
+                    pt.extract(self.grid, bp[:2], size, wi), xy[:, 0], xy[:, 1])
+            )(base_pos, w, pts)
         return jax.vmap(
             lambda p, wi: hf.sample_height_min3(self.grid, p[:, 0], p[:, 1], wi)
         )(pts, w)

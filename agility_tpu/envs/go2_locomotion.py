@@ -299,7 +299,7 @@ class Go2LocomotionEnv:
         control = eng.Control(target=target, kp=jnp.tile(self.kp, (N, 1)), kd=jnp.tile(self.kd, (N, 1)))
 
         # --- physics (decimated substeps) ---
-        sim, (tau, tau_org), body_forces, _ = jax.vmap(
+        sim, (tau, tau_org), body_forces, _, terrain_patch = jax.vmap(
             lambda si, ci, pi: eng.control_step(self.mc, self.engine_cfg, self.grid, si, ci, pi)
         )(state.sim, control, self.params)
 
@@ -339,7 +339,7 @@ class Go2LocomotionEnv:
         reset_buf = jnp.logical_or(reset_buf, time_out)
 
         # --- measured heights (pre-reset, used by rewards) ---
-        measured = self._measure_heights(sim.base_pos, bq)
+        measured = self._measure_heights(sim.base_pos, bq, terrain_patch)
         root_h = sim.base_pos[:, 2] - measured[:, self.center_height_idx]
 
         # --- rewards (:242-259 + term library :1231-1374) ---
@@ -397,10 +397,16 @@ class Go2LocomotionEnv:
     # pieces
     # ==================================================================
 
-    def _measure_heights(self, base_pos, base_quat):
+    def _measure_heights(self, base_pos, base_quat, terrain_patch=None):
         if not self.cfg.terrain.measure_heights:
             return jnp.zeros((base_pos.shape[0], self.n_height_points))
         pts = qm.quat_apply_yaw(base_quat[:, None, :], self.height_points[None]) + base_pos[:, None, :]
+        if terrain_patch is not None:
+            from agility_tpu.physics import patch as pt
+
+            return jax.vmap(
+                lambda p, xy: pt.sample_height_min3(p, xy[:, 0], xy[:, 1])
+            )(terrain_patch, pts)
         return hf.sample_height_min3(self.grid, pts[..., 0], pts[..., 1])
 
     def _resample_where(self, state: LocoState, mask, key):
@@ -517,7 +523,15 @@ class Go2LocomotionEnv:
         roll, pitch, _ = qm.euler_from_quat(bq)
         imu = jnp.stack([roll, pitch], -1)
 
-        measured = self._measure_heights(sim.base_pos, bq)
+        # fresh patches (reset envs may have teleported outside the step's)
+        terrain_patch = None
+        if self.engine_cfg.fast and self.engine_cfg.patch_size and cfg.terrain.measure_heights:
+            from agility_tpu.physics import patch as pt
+
+            terrain_patch = jax.vmap(
+                lambda bp: pt.extract(self.grid, bp[:2], self.engine_cfg.patch_size)
+            )(sim.base_pos)
+        measured = self._measure_heights(sim.base_pos, bq, terrain_patch)
         if cfg.terrain.measure_heights:
             root_h = (sim.base_pos[:, 2] - measured[:, self.center_height_idx])[:, None]
         else:

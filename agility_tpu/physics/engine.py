@@ -44,6 +44,8 @@ class EngineConfig:
     # joint handling
     enforce_joint_limits: bool = True
     fast: bool = True        # layout-optimized dynamics/contact (fastpath.py)
+    patch_size: int = 24     # per-env terrain patch (gather-free sampling);
+    #                          0 disables patching (direct grid gathers)
     dtype: object = jnp.float32
 
 
@@ -110,6 +112,7 @@ def substep(
     s: EnvState,
     control: Control,
     params: EnvParams,
+    terrain_patch=None,
 ):
     """One physics substep.  Returns (new_state, torques, sphere_forces)."""
     mce = _env_consts(mc, params)
@@ -127,7 +130,8 @@ def substep(
 
         M, C = fp.mass_and_bias(mce, ls, axes, s.u[6:], gravity)
         factors = dyn.factor_mass_matrix(M)
-        phi, normals, JpT = fp.detect_T(mce, ls, axes, grid, params.hf_weights)
+        phi, normals, JpT = fp.detect_T(mce, ls, axes, grid, params.hf_weights,
+                                        terrain_patch)
         u_free = s.u + cfg.dt * dyn.solve_mass(factors, tau - C)
         if cfg.solver in ("pgs", "jacobi"):
             u_new, sph_force = fp.jacobi_solve_world(
@@ -199,11 +203,20 @@ def control_step(
     params: EnvParams,
 ):
     """`decimation` substeps (the reference's 200 Hz sim / 50 Hz control
-    split).  Returns (state, torques, body_forces (B,3), max_body_forces)."""
+    split).  Returns (state, torques, body_forces (B,3), max_body_forces).
+
+    The terrain patch around the robot is extracted once here and reused by
+    every substep (the base moves <~4 cm within one control step)."""
+    terrain_patch = None
+    if cfg.fast and cfg.patch_size:
+        from agility_tpu.physics import patch as pt
+
+        terrain_patch = pt.extract(grid, s.base_pos[:2], cfg.patch_size,
+                                   params.hf_weights)
 
     def body(carry, _):
         st, _ = carry
-        st2, taus, sphf = substep(mc, cfg, grid, st, control, params)
+        st2, taus, sphf = substep(mc, cfg, grid, st, control, params, terrain_patch)
         # net contact force per reported body
         bf = jax.ops.segment_sum(sphf, mc.sph_body, num_segments=mc.n_bodies)
         return (st2, taus), bf
@@ -212,7 +225,7 @@ def control_step(
     (s2, taus), bf_all = jax.lax.scan(body, (s, (zt, zt)), None, length=cfg.decimation)
     body_forces = bf_all[-1]
     max_body_forces = jnp.max(jnp.abs(bf_all), axis=0)
-    return s2, taus, body_forces, max_body_forces
+    return s2, taus, body_forces, max_body_forces, terrain_patch
 
 
 def refresh_sim_state(mc: ModelConsts, s: EnvState):

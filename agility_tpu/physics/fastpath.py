@@ -132,13 +132,23 @@ def mass_and_bias(mc: ModelConsts, ls: LinkState, axes_w, qdj, gravity):
 # ---------------------------------------------------------------------------
 
 
-def detect_T(mc: ModelConsts, ls: LinkState, axes_w, grid: hf.HeightGrid, hf_weights=None):
-    """World-frame contact data: (phi (S,), normals (S,3), JpT (nv, 3S))."""
+def detect_T(mc: ModelConsts, ls: LinkState, axes_w, grid: hf.HeightGrid,
+             hf_weights=None, terrain_patch=None):
+    """World-frame contact data: (phi (S,), normals (S,3), JpT (nv, 3S)).
+
+    With `terrain_patch` (physics/patch.py) the height/normal queries are
+    gather-free MXU contractions; otherwise they fall back to grid gathers.
+    """
     sl = mc.sph_link
     off_w = qm.quat_rotate(ls.quat[sl], mc.sph_offset)
     centers = ls.pos[sl] + off_w
-    h = hf.sample_height(grid, centers[:, 0], centers[:, 1], hf_weights)
-    n = hf.sample_normal(grid, centers[:, 0], centers[:, 1], hf_weights)
+    if terrain_patch is not None:
+        from agility_tpu.physics import patch as pt
+
+        h, n = pt.sample_height_and_normal(terrain_patch, centers[:, 0], centers[:, 1])
+    else:
+        h = hf.sample_height(grid, centers[:, 0], centers[:, 1], hf_weights)
+        n = hf.sample_normal(grid, centers[:, 0], centers[:, 1], hf_weights)
     phi = (centers[:, 2] - h) * n[:, 2] - mc.sph_radius
     JpT = _jacobian_T(mc, ls, axes_w, sl, centers)
     return phi, n, JpT

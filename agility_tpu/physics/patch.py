@@ -1,0 +1,112 @@
+"""Gather-free heightfield sampling via per-env terrain patches.
+
+TPU gathers are slow scalar loops; sampling 24 contact points x 5 taps per
+substep measured ~21 ms of a 31 ms substep at 4096 envs (PERF_NOTES.md).
+Instead, a small square patch of terrain around each robot is extracted
+*once per control step* with a batched `dynamic_slice`, and every
+height/normal/scandot query inside the step becomes a separable "hat
+weight" contraction against the patch:
+
+    h(x, y)    = wx(gx)^T  P  wy(gy)          (bilinear interpolation)
+    dh/dx      = wx'(gx)^T P  wy(gy)          (analytic surface gradient)
+
+where wx/wy are 1-D hat windows (two non-zero taps).  These are batched
+matmuls — MXU work — with zero gathers.  Movable-layer weights fold into
+the patch at extraction time, so layered courses cost nothing per query.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from agility_tpu.physics.heightfield import HeightGrid
+
+
+class Patch(NamedTuple):
+    values: jnp.ndarray    # (P, P) heights (meters), layers folded in
+    min3: jnp.ndarray      # (P, P) min(self, +x, +y) — scandot semantics
+    x0: jnp.ndarray        # () grid x-index of patch node (0, 0)
+    y0: jnp.ndarray        # ()
+    hscale: float
+    origin: jnp.ndarray    # (2,) world xy of grid node (0, 0)
+
+
+def extract(grid: HeightGrid, center_xy, size: int, weights=None) -> Patch:
+    """Slice a size x size patch centered at world `center_xy` (single env;
+    vmap over envs).  Start indices clamp at the grid boundary."""
+    H, W = grid.height.shape
+    size = min(size, H, W)   # degenerate grids (e.g. the flat 2x2 plane)
+    gx = (center_xy[0] - grid.origin[0]) / grid.hscale
+    gy = (center_xy[1] - grid.origin[1]) / grid.hscale
+    x0 = jnp.clip(jnp.round(gx).astype(jnp.int32) - size // 2, 0, max(H - size, 0))
+    y0 = jnp.clip(jnp.round(gy).astype(jnp.int32) - size // 2, 0, max(W - size, 0))
+    vals = jax.lax.dynamic_slice(grid.height, (x0, y0), (size, size))
+    if grid.layer_id is not None and weights is not None:
+        lid = jax.lax.dynamic_slice(grid.layer_id, (x0, y0), (size, size))
+        w = jnp.concatenate([jnp.zeros((1,), vals.dtype), weights])
+        vals = vals + w[lid.astype(jnp.int32)]
+    # conservative scandot surface: min of node and its +x/+y neighbors
+    m = jnp.minimum(vals, jnp.roll(vals, -1, axis=0).at[-1].set(vals[-1]))
+    m = jnp.minimum(m, jnp.roll(vals, -1, axis=1).at[:, -1].set(vals[:, -1]))
+    return Patch(values=vals, min3=m, x0=x0, y0=y0, hscale=grid.hscale,
+                 origin=grid.origin)
+
+
+def _coords(p: Patch, x, y):
+    P = p.values.shape[0]
+    gx = (x - p.origin[0]) / p.hscale - p.x0
+    gy = (y - p.origin[1]) / p.hscale - p.y0
+    return jnp.clip(gx, 0.0, P - 1.001), jnp.clip(gy, 0.0, P - 1.001)
+
+
+def _hat(g, P):
+    """(K, P) two-tap hat windows for query coords g (K,)."""
+    idx = jax.lax.broadcasted_iota(jnp.float32, (1, P), 1)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(g[:, None] - idx))
+
+
+def _dhat(g, P):
+    """d hat / d g — the derivative windows (piecewise +-1 on the two taps)."""
+    idx = jax.lax.broadcasted_iota(jnp.float32, (1, P), 1)
+    d = g[:, None] - idx
+    return jnp.where((d > 0) & (d < 1), -1.0, 0.0) + jnp.where(
+        (d <= 0) & (d > -1), 1.0, 0.0)
+
+
+def sample_height(p: Patch, x, y):
+    """Bilinear heights for K query points (K,) -> (K,), gather-free."""
+    Psz = p.values.shape[0]
+    gx, gy = _coords(p, x, y)
+    wx = _hat(gx, Psz)                      # (K, P)
+    wy = _hat(gy, Psz)
+    return jnp.einsum("ka,ab,kb->k", wx, p.values, wy)
+
+
+def sample_height_and_normal(p: Patch, x, y):
+    """(h (K,), n (K, 3)) — normal from the analytic bilinear gradient."""
+    Psz = p.values.shape[0]
+    gx, gy = _coords(p, x, y)
+    wx, wy = _hat(gx, Psz), _hat(gy, Psz)
+    dwx, dwy = _dhat(gx, Psz), _dhat(gy, Psz)
+    rows = wx @ p.values                    # (K, P)
+    drows = dwx @ p.values
+    h = jnp.sum(rows * wy, -1)
+    dhdx = jnp.sum(drows * wy, -1) / p.hscale
+    dhdy = jnp.sum(rows * dwy, -1) / p.hscale
+    n = jnp.stack([-dhdx, -dhdy, jnp.ones_like(h)], -1)
+    return h, n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+
+
+def sample_height_min3(p: Patch, x, y):
+    """Conservative floor-node height (scandots): one-hot tap on the
+    precomputed min3 patch at the floor node."""
+    Psz = p.values.shape[0]
+    gx, gy = _coords(p, x, y)
+    fx = jnp.floor(gx)
+    fy = jnp.floor(gy)
+    idx = jax.lax.broadcasted_iota(jnp.float32, (1, Psz), 1)
+    ox = (jnp.abs(fx[:, None] - idx) < 0.5).astype(p.values.dtype)
+    oy = (jnp.abs(fy[:, None] - idx) < 0.5).astype(p.values.dtype)
+    return jnp.einsum("ka,ab,kb->k", ox, p.min3, oy)

@@ -38,7 +38,7 @@ def simulate(n_steps, state=None, solver="pgs"):
 
     @jax.jit
     def step(s):
-        s2, tau, bf, mbf = eng.control_step(MC, cfg, GRID, s, control, params)
+        s2, tau, bf, mbf, _ = eng.control_step(MC, cfg, GRID, s, control, params)
         return s2, bf
 
     s = state if state is not None else default_state()
