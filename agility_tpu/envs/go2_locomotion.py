@@ -238,7 +238,7 @@ class Go2LocomotionEnv:
             commands=jnp.zeros((N, 5)),
             latent_eps=jnp.zeros((N, 1)),
             latent_c=jnp.zeros((N, C)).at[:, 0].set(1.0),
-            prior_parameters=jnp.full((C,), 1.0 / C),
+            prior_parameters=jnp.full((C,), 1.0 / C, jnp.float32),
             actions=z12,
             last_actions=z12,
             action_history=jnp.zeros((N, self.cfg.domain_rand.action_buf_len, 12)),

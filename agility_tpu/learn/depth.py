@@ -106,14 +106,14 @@ class BYOLNets(nn.Module):
 class BYOLState(NamedTuple):
     online: Any       # BYOLNets params (backbone+projector+predictor)
     target: Any       # EMA copy (backbone+projector used)
-    ema_decay: float
+    ema_decay: jnp.ndarray   # () strong f32 (stable jit signature)
 
 
 def byol_init(key, n_latent=32, image_shape=(58, 87)) -> Tuple[BYOLNets, BYOLState]:
     net = BYOLNets(n_latent=n_latent)
     params = net.init(key, jnp.zeros((1,) + image_shape))
     return net, BYOLState(online=params, target=jax.tree.map(jnp.copy, params),
-                          ema_decay=0.99)
+                          ema_decay=jnp.asarray(0.99, jnp.float32))
 
 
 def byol_loss(net: BYOLNets, online_params, target_params, img1, img2):

@@ -97,7 +97,8 @@ class ActorCritic(nn.Module):
         self.critic_trunk = MLP(self.critic_hidden, activate_last=True, name="critic_trunk")
         self.critic_head = nn.Dense(1, name="critic_head")
         self.std_param = self.param(
-            "std", lambda k: jnp.full((self.num_actions,), self.init_noise_std))
+            "std",
+            lambda k: jnp.full((self.num_actions,), self.init_noise_std, jnp.float32))
 
     def _latent(self, obs, hist_encoding: bool):
         s = self.slices
@@ -176,15 +177,19 @@ def gaussian_entropy(std):
 
 class RunningNormalizer:
     """Running mean/std feature normalizer as a pytree (replaces the
-    reference's numpy Welford Normalizer, bbc/rsl_rl/utils/utils.py:51-113)."""
+    reference's numpy Welford Normalizer, bbc/rsl_rl/utils/utils.py:51-113).
+
+    All leaves are strong-typed device scalars/arrays so the state's jit
+    signature is a fixed point (weak types would force recompilation)."""
+
+    CLIP = 10.0
 
     @staticmethod
-    def init(dim, clip=10.0):
+    def init(dim):
         return {
-            "mean": jnp.zeros(dim),
-            "var": jnp.ones(dim),
-            "count": jnp.asarray(1e-4),
-            "clip": clip,
+            "mean": jnp.zeros(dim, jnp.float32),
+            "var": jnp.ones(dim, jnp.float32),
+            "count": jnp.asarray(1e-4, jnp.float32),
         }
 
     @staticmethod
@@ -203,4 +208,4 @@ class RunningNormalizer:
     @staticmethod
     def normalize(state, x):
         out = (x - state["mean"]) / jnp.sqrt(state["var"] + 1e-8)
-        return jnp.clip(out, -state["clip"], state["clip"])
+        return jnp.clip(out, -RunningNormalizer.CLIP, RunningNormalizer.CLIP)

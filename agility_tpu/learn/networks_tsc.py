@@ -56,7 +56,7 @@ class ActorCriticTSC(nn.Module):
         self.critic_head = nn.Dense(1, name="critic_head")
         self.std_param = self.param(
             "std", lambda k: jnp.full((self.num_actions_d * self.num_actions_c,),
-                                      self.init_noise_std))
+                                      self.init_noise_std, jnp.float32))
 
     def _latent(self, obs, hist_encoding):
         s = self.slices

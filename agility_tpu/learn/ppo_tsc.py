@@ -121,7 +121,7 @@ class TscPPO:
         return TscTrainState(
             ac_params=self._ac_params0,
             ac_opt=self.opt_ac.init(self._ac_params0),
-            lr=jnp.asarray(self.cfg.learning_rate),
+            lr=jnp.asarray(self.cfg.learning_rate, jnp.float32),
             hist_opt=self.opt_hist.init(self._ac_params0["params"]["history_encoder"]),
             est_params=self._est_params0,
             est_opt=self.opt_est.init(self._est_params0),

@@ -194,7 +194,7 @@ class SSInfoGAIL:
         return TrainState(
             ac_params=self._ac_params0,
             ac_opt=self.opt_ac.init(self._ac_params0),
-            lr_ac=jnp.asarray(cfg.lr_ac),
+            lr_ac=jnp.asarray(cfg.lr_ac, jnp.float32),
             hist_opt=self.opt_hist.init(self._hist_subset(self._ac_params0)),
             est_params=self._est_params0,
             est_opt=self.opt_est.init(self._est_params0),
@@ -204,8 +204,8 @@ class SSInfoGAIL:
             disc_opt_qc=self.opt_qc.init(self._disc_params0),
             disc_norm=nets.RunningNormalizer.init(self.disc_in),
             ring=replay.init(cap, self.disc_in + 1 + self.dim_c),
-            prior_parameters=jnp.full((self.dim_c,), 1.0 / self.dim_c),
-            task_obs_weight=jnp.asarray(1.0),
+            prior_parameters=jnp.full((self.dim_c,), 1.0 / self.dim_c, jnp.float32),
+            task_obs_weight=jnp.asarray(1.0, jnp.float32),
             learning_steps=jnp.zeros((), jnp.int32),
             priv_reg_counter=jnp.zeros((), jnp.int32),
             key=key,
