@@ -54,8 +54,9 @@ class OnPolicyRunner:
         steps_per_iter = self.cfg.num_steps_per_env * self.env.num_envs
         profile_dir = os.environ.get("AGILITY_PROFILE_DIR")
 
+        t_window = time.time()
+        it_window = self.current_iteration
         for it in range(self.current_iteration, self.current_iteration + num_iterations):
-            t0 = time.time()
             if profile_dir and it == self.current_iteration + 2:
                 jax.profiler.start_trace(profile_dir)
             if profile_dir and it == self.current_iteration + 4:
@@ -64,9 +65,10 @@ class OnPolicyRunner:
             self.train_state, self.env_state, self.disc_hist, metrics = self._iter(
                 self.train_state, self.env_state, self.disc_hist, jnp.asarray(it))
             if (it + 1) % log_every == 0 or it == self.current_iteration:
-                metrics = jax.device_get(metrics)
-                dt_iter = (time.time() - t0)
-                fps = steps_per_iter / max(dt_iter, 1e-9)
+                metrics = jax.device_get(metrics)   # drains the async queue
+                now = time.time()
+                fps = (it + 1 - it_window) * steps_per_iter / max(now - t_window, 1e-9)
+                t_window, it_window = now, it + 1
                 rew_buf.append(float(metrics["rollout/r_total"]))
                 if self.writer:
                     self.writer.scalars(metrics, it)

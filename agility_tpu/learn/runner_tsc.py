@@ -70,13 +70,16 @@ class TscOnPolicyRunner:
     def learn(self, num_iterations: int, log_every: int = 10):
         steps_per_iter = self.cfg.num_steps_per_env * self.env.num_envs
         t_start = time.time()
+        t_window = time.time()
+        it_window = self.current_iteration
         for it in range(self.current_iteration, self.current_iteration + num_iterations):
-            t0 = time.time()
             self.train_state, self.env_state, self.disc_hist, metrics = self._iter(
                 self.train_state, self.env_state, self.disc_hist, jnp.asarray(it))
             if (it + 1) % log_every == 0 or it == self.current_iteration:
                 metrics = jax.device_get(metrics)
-                fps = steps_per_iter / max(time.time() - t0, 1e-9)
+                now = time.time()
+                fps = (it + 1 - it_window) * steps_per_iter / max(now - t_window, 1e-9)
+                t_window, it_window = now, it + 1
                 if self.writer:
                     self.writer.scalars(metrics, it)
                     self.writer.scalar("perf/fps", fps, it)
