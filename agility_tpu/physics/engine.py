@@ -46,6 +46,8 @@ class EngineConfig:
     fast: bool = True        # layout-optimized dynamics/contact (fastpath.py)
     patch_size: int = 24     # per-env terrain patch (gather-free sampling);
     #                          0 disables patching (direct grid gathers)
+    pallas_contact: bool = False   # fused Pallas LCP kernel (pallas_contact.py)
+    pallas_env_block: int = 16
     dtype: object = jnp.float32
 
 
@@ -222,6 +224,91 @@ def control_step(
         return (st2, taus), bf
 
     zt = jnp.zeros(mc.nu, cfg.dtype)
+    (s2, taus), bf_all = jax.lax.scan(body, (s, (zt, zt)), None, length=cfg.decimation)
+    body_forces = bf_all[-1]
+    max_body_forces = jnp.max(jnp.abs(bf_all), axis=0)
+    return s2, taus, body_forces, max_body_forces, terrain_patch
+
+
+def _pre_contact(mc: ModelConsts, cfg: EngineConfig, grid, s: EnvState,
+                 control: Control, params: EnvParams, terrain_patch):
+    """Single-env fastpath work up to (and excluding) the contact solve."""
+    from agility_tpu.physics import fastpath as fp
+
+    mce = _env_consts(mc, params)
+    gravity = jnp.asarray(cfg.gravity, cfg.dtype)
+    ls = kin.fk(mce, s.base_pos, s.base_quat, s.dof_pos)
+    ls = kin.velocities(mce, ls, s.u[:3], s.u[3:6], s.u[6:])
+    axes = kin.world_axes(mce, ls)
+    tau_j, tau_org = pd_torques(mce, control, params, s.dof_pos, s.u[6:])
+    tau = jnp.concatenate([jnp.zeros(6, cfg.dtype), tau_j])
+    M, C = fp.mass_and_bias(mce, ls, axes, s.u[6:], gravity)
+    factors = dyn.factor_mass_matrix(M)
+    u_free = s.u + cfg.dt * dyn.solve_mass(factors, tau - C)
+    phi, normals, JpT = fp.detect_T(mce, ls, axes, grid, params.hf_weights,
+                                    terrain_patch)
+    MinvJT = dyn.solve_mass(factors, JpT)
+    G = JpT.T @ MinvJT
+    return u_free, phi, normals, JpT, MinvJT, G, (tau_j, tau_org)
+
+
+def _integrate(mc: ModelConsts, cfg: EngineConfig, s: EnvState, u_new):
+    base_pos = s.base_pos + cfg.dt * u_new[:3]
+    base_quat = qm.quat_integrate(s.base_quat, u_new[3:6], cfg.dt)
+    dof_pos = s.dof_pos + cfg.dt * u_new[6:]
+    qd = u_new[6:]
+    if cfg.enforce_joint_limits:
+        clamped = jnp.clip(dof_pos, mc.dof_limit_lower, mc.dof_limit_upper)
+        qd = jnp.where(clamped == dof_pos, qd, 0.0)
+        dof_pos = clamped
+        qd = jnp.clip(qd, -mc.dof_velocity_limit, mc.dof_velocity_limit)
+    return EnvState(base_pos, base_quat, dof_pos,
+                    jnp.concatenate([u_new[:6], qd]))
+
+
+def control_step_batched(mc: ModelConsts, cfg: EngineConfig, grid, s: EnvState,
+                         control: Control, params: EnvParams):
+    """Batched control step (leading env axis on every input).  With
+    `cfg.pallas_contact` the contact LCP of all envs runs in one fused
+    Pallas kernel per substep; otherwise this is equivalent to
+    vmap(control_step)."""
+    if not cfg.pallas_contact:
+        return jax.vmap(
+            lambda si, ci, pi: control_step(mc, cfg, grid, si, ci, pi)
+        )(s, control, params)
+
+    from agility_tpu.physics import pallas_contact as pc
+    from agility_tpu.physics import patch as pt
+
+    terrain_patch = None
+    if cfg.fast and cfg.patch_size:
+        terrain_patch = jax.vmap(
+            lambda bp, w: pt.extract(grid, bp[:2], cfg.patch_size, w)
+        )(s.base_pos, params.hf_weights) if params.hf_weights is not None else jax.vmap(
+            lambda bp: pt.extract(grid, bp[:2], cfg.patch_size)
+        )(s.base_pos)
+
+    def body(carry, _):
+        st, _ = carry
+        pre = jax.vmap(
+            lambda si, ci, pi, tp: _pre_contact(mc, cfg, grid, si, ci, pi, tp),
+            in_axes=(0, 0, 0, (0 if terrain_patch is not None else None)),
+        )(st, control, params, terrain_patch)
+        u_free, phi, normals, JpT, MinvJT, G, taus = pre
+        u_new, sph_force = pc.jacobi_solve_batch(
+            phi, normals, JpT, MinvJT, G, u_free, params.friction, cfg.dt,
+            iters=cfg.jacobi_iters, relax=cfg.jacobi_relax,
+            baumgarte=cfg.baumgarte, slop=cfg.contact_slop,
+            max_depen_vel=cfg.max_depenetration_vel,
+            restitution=cfg.restitution, env_block=cfg.pallas_env_block)
+        st2 = jax.vmap(lambda si, un: _integrate(mc, cfg, si, un))(st, u_new)
+        bf = jax.vmap(
+            lambda f: jax.ops.segment_sum(f, mc.sph_body, num_segments=mc.n_bodies)
+        )(sph_force)
+        return (st2, taus), bf
+
+    N = s.base_pos.shape[0]
+    zt = jnp.zeros((N, mc.nu), cfg.dtype)
     (s2, taus), bf_all = jax.lax.scan(body, (s, (zt, zt)), None, length=cfg.decimation)
     body_forces = bf_all[-1]
     max_body_forces = jnp.max(jnp.abs(bf_all), axis=0)
