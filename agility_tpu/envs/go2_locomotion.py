@@ -469,7 +469,14 @@ class Go2LocomotionEnv:
             frames = self.motion.sample_frames(ks[1], c_idx, self.dt)
             dof_pos = frames[:, mocap_mod.JOINT_POS]
             dof_vel = frames[:, mocap_mod.JOINT_VEL]
-            base_pos = frames[:, mocap_mod.ROOT_POS] + self.env_origins
+            base_xy = frames[:, mocap_mod.ROOT_POS][:, :2] + self.env_origins[:, :2]
+            # mocap z is height above flat ground; lift by the terrain height
+            # at the actual spawn xy (the reference's env-origin-z offset
+            # mismatches rough cells away from center and spawns robots
+            # inside the heightfield)
+            h = hf.sample_height(self.grid, base_xy[:, 0], base_xy[:, 1])
+            base_pos = jnp.concatenate(
+                [base_xy, (frames[:, 2] + h)[:, None]], axis=-1)
             base_quat = frames[:, mocap_mod.ROOT_ROT]
             lin = qm.quat_rotate(base_quat, frames[:, mocap_mod.LIN_VEL])
             ang = qm.quat_rotate(base_quat, frames[:, mocap_mod.ANG_VEL])

@@ -181,6 +181,7 @@ def substep(
             sph_force = f_world
 
     # semi-implicit Euler
+    u_new = _clamp_base_velocity(u_new)
     base_pos = s.base_pos + cfg.dt * u_new[:3]
     base_quat = qm.quat_integrate(s.base_quat, u_new[3:6], cfg.dt)
     dof_pos = s.dof_pos + cfg.dt * u_new[6:]
@@ -252,7 +253,16 @@ def _pre_contact(mc: ModelConsts, cfg: EngineConfig, grid, s: EnvState,
     return u_free, phi, normals, JpT, MinvJT, G, (tau_j, tau_org)
 
 
+def _clamp_base_velocity(u, max_lin=100.0, max_ang=50.0):
+    """Backstop against runaway states (the analogue of PhysX's
+    max_linear/angular_velocity caps, sim cfg :94-96)."""
+    v = jnp.clip(u[:3], -max_lin, max_lin)
+    w = jnp.clip(u[3:6], -max_ang, max_ang)
+    return jnp.concatenate([v, w, u[6:]])
+
+
 def _integrate(mc: ModelConsts, cfg: EngineConfig, s: EnvState, u_new):
+    u_new = _clamp_base_velocity(u_new)
     base_pos = s.base_pos + cfg.dt * u_new[:3]
     base_quat = qm.quat_integrate(s.base_quat, u_new[3:6], cfg.dt)
     dof_pos = s.dof_pos + cfg.dt * u_new[6:]

@@ -157,7 +157,7 @@ def detect_T(mc: ModelConsts, ls: LinkState, axes_w, grid: hf.HeightGrid,
 def jacobi_solve_world(
     phi, normals, JpT, factors: MassFactors, u_free, mu, dt,
     iters=10, relax=0.6, baumgarte=0.2, slop=0.002, max_depen_vel=1.0,
-    restitution=0.0,
+    restitution=0.0, lam_max=25.0,
 ):
     """Projected block-Jacobi LCP in world coordinates.
 
@@ -186,7 +186,10 @@ def jacobi_solve_world(
     def project(lam):
         ln = jnp.sum(lam * normals, -1)
         lt = lam - ln[:, None] * normals
-        ln = jnp.maximum(ln, 0.0) * active
+        # impulse cap: bounds Jacobi divergence on pathological (deeply
+        # interpenetrating) states — 25 kg m/s >> any legitimate stance
+        # impulse at dt=5 ms, so regular dynamics are unaffected
+        ln = jnp.clip(ln, 0.0, lam_max) * active
         tn = jnp.linalg.norm(lt, axis=-1)
         scale = jnp.minimum(1.0, mu * ln / jnp.maximum(tn, 1e-9)) * active
         return lt * scale[:, None] + ln[:, None] * normals

@@ -61,7 +61,7 @@ def _kernel(S, iters, relax, G_ref, vf_ref, bias_ref, n_ref, act_ref,
         # friction-cone projection against the contact normal
         ln = lx * nx + ly * ny + lz * nz
         tx, ty, tz = lx - ln * nx, ly - ln * ny, lz - ln * nz
-        ln = jnp.maximum(ln, 0.0) * act
+        ln = jnp.clip(ln, 0.0, 25.0) * act   # impulse cap (see fastpath)
         tn = jnp.sqrt(tx * tx + ty * ty + tz * tz + 1e-18)
         scale = jnp.minimum(1.0, mu * ln / tn) * act
         lx = tx * scale + ln * nx
