@@ -25,6 +25,12 @@ def get_args():
                         "mocap_all_ulb/); synthetic gaits if omitted")
     p.add_argument("--log_root", default="logs")
     p.add_argument("--log_every", type=int, default=10)
+    # domain-randomization switches (reference flag vocabulary,
+    # bbc/legged_gym/utils/helpers.py:171-230)
+    for flag in ("push_robots", "randomize_friction", "randomize_base_mass",
+                 "randomize_base_com", "randomize_motor", "action_delay"):
+        p.add_argument(f"--no_{flag}", action="store_true",
+                       help=f"disable domain_rand.{flag}")
     return p.parse_args()
 
 
@@ -38,10 +44,13 @@ def main():
 
     make_env_cfg, make_algo_cfg = registry.get(args.task)
     cfg = make_env_cfg()
-    cfg = registry.apply_overrides(
-        cfg,
-        **{"env.num_envs": args.num_envs, "seed": args.seed,
-           "mocap_dir": args.mocap_dir})
+    overrides = {"env.num_envs": args.num_envs, "seed": args.seed,
+                 "mocap_dir": args.mocap_dir}
+    for flag in ("push_robots", "randomize_friction", "randomize_base_mass",
+                 "randomize_base_com", "randomize_motor", "action_delay"):
+        if getattr(args, f"no_{flag}"):
+            overrides[f"domain_rand.{flag}"] = False
+    cfg = registry.apply_overrides(cfg, **overrides)
 
     exp_name = args.experiment_name or args.task
     log_dir = os.path.join(args.log_root, exp_name, str(args.experiment_idx))
