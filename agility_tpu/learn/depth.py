@@ -69,6 +69,30 @@ class RecurrentDepthEncoder(nn.Module):
         return self.backbone(depth)
 
 
+class StackDepthEncoder(nn.Module):
+    """Frame-stack depth encoder (reference depth_backbone.py:48-73):
+    per-frame CNN latents + proprio combine + temporal conv1d.  Registered
+    for capability parity; the training path uses RecurrentDepthEncoder."""
+    n_latent: int = 32
+    n_proprio: int = 65
+    buffer_len: int = 2
+
+    @nn.compact
+    def __call__(self, depth_stack, prop):
+        # depth_stack (N, buf, H, W)
+        N, B = depth_stack.shape[:2]
+        feat = DepthBackbone58x87(self.n_latent)(
+            depth_stack.reshape((N * B,) + depth_stack.shape[2:]))
+        feat = feat.reshape(N, B, -1)
+        comb = nn.Sequential([nn.Dense(128), nn.elu, nn.Dense(self.n_latent)])
+        feat = comb(jnp.concatenate(
+            [feat, jnp.repeat(prop[:, None], B, axis=1)], axis=-1))
+        x = nn.elu(nn.Conv(16, (4,), strides=(2,), padding="SAME")(feat))
+        x = nn.elu(nn.Conv(16, (2,), padding="SAME")(x))
+        x = x.reshape(N, -1)
+        return nn.elu(nn.Dense(self.n_latent)(x))
+
+
 # ---------------------------------------------------------------------------
 # BYOL (reference byol.py, lucidrains-derived; defaults: projection 256,
 # hidden 4096, EMA decay 0.99)
