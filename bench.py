@@ -65,6 +65,10 @@ def main():
     steps_per_iter = algo_cfg.num_steps_per_env * num_envs
     env_steps_per_sec = steps_per_iter / dt
     baseline = 57000.0
+    # secondary kernel metric (BASELINE.json): one contact-LCP block is
+    # solved per env per physics substep (decimation 4 per control step)
+    solves_per_sec = env_steps_per_sec * cfg.control.decimation
+    sys.stderr.write(f"contact_qp_solves_per_sec: {solves_per_sec:,.0f}\n")
     print(json.dumps({
         "metric": "env_steps_per_sec",
         "value": round(env_steps_per_sec, 1),
