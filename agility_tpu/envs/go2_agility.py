@@ -25,6 +25,7 @@ import numpy as np
 
 from agility_tpu.core import quat as qm
 from agility_tpu.core.urdf import build_go2_model
+from agility_tpu.envs import go2_locomotion as loco_mod
 from agility_tpu.envs.tsc_config import Go2AgilityCfg
 from agility_tpu.physics import engine as eng
 from agility_tpu.physics import heightfield as hf
@@ -392,7 +393,23 @@ class Go2AgilityEnv:
             time_out=time_out)
         rew, terms = self._compute_reward(q)
         episode_sums = state.episode_sums + terms
-        terminal_disc_obs = state.disc_obs
+
+        # --- terminal disc obs: disc features of the PRE-reset (terminal)
+        # physics state (bbc on_policy_runner.py:166-181 semantics; the TSC
+        # runner applies the same patch, tsc on_policy_runner.py:216-220).
+        # Only the center scan point is needed for root height here — the
+        # full scandot grid is computed post-reset in _compute_observations.
+        w = jnp.stack([self.bar_h + state.bar_bias, self.tire_h + state.tire_bias], -1)
+        center_pt = qm.quat_apply_yaw(
+            bq, jnp.broadcast_to(self.height_points[self.center_height_idx], (N, 3))
+        ) + sim.base_pos
+        ch = jax.vmap(
+            lambda p, wi: hf.sample_height_min3(self.grid, p[0], p[1], wi)
+        )(center_pt, w)
+        root_h = sim.base_pos[:, 2] - ch
+        terminal_disc_obs = loco_mod.compute_disc_features(
+            self.mc, self.feet_idx, cfg.obs_scales, sim, contact_filt,
+            root_h[:, None])
 
         # success-rate EMA over ending episodes (runner :248-271 analogue)
         n_end = jnp.sum(reset_buf)
@@ -531,24 +548,17 @@ class Go2AgilityEnv:
         delta_next_yaw = qm.wrap_to_pi(state.next_target_yaw - yaw)
         delta_yaws = jnp.stack([delta_yaw, delta_next_yaw], -1)
 
-        bp, _, _, _ = jax.vmap(lambda si: eng.refresh_sim_state(self.mc, si))(sim)
-        key_pos_w = bp[:, self.feet_idx]
-        hq = qm.heading_quat_inv(bq)
-        flat_key_pos = qm.quat_rotate(
-            hq[:, None, :], key_pos_w - sim.base_pos[:, None, :]).reshape(-1, 12)
-
         dof_err = (sim.dof_pos - self.mc.default_dof_pos) * osc.dof_pos
         dof_vel = sim.u[:, 6:] * osc.dof_vel
         cf = state.contact_filt.astype(jnp.float32)
 
-        disc_obs = jnp.concatenate(
-            [imu, root_h, base_lin_vel * osc.lin_vel_dist,
-             base_ang_vel * osc.ang_vel_dist, dof_err, dof_vel,
-             flat_key_pos * osc.key_pos, cf * osc.foot_contact], axis=-1)
+        disc_obs = loco_mod.compute_disc_features(
+            self.mc, self.feet_idx, osc, sim, state.contact_filt, root_h)
 
         prop = jnp.concatenate(
             [imu, base_ang_vel * osc.ang_vel, dof_err, dof_vel,
-             state.action_history[:, -1], cf - 0.5, flat_key_pos * 0.0], axis=-1)
+             state.action_history[:, -1], cf - 0.5,
+             jnp.zeros((self.num_envs, 12), jnp.float32)], axis=-1)
 
         root_h_obs = root_h if cfg.env.root_height_obs else jnp.zeros_like(root_h)
         priv_explicit = jnp.concatenate([root_h_obs, base_lin_vel * osc.lin_vel], -1)

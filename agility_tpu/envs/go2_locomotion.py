@@ -74,6 +74,36 @@ class StepOutput(NamedTuple):
     reward_terms: jnp.ndarray         # (N, n_rew) this step (scaled)
 
 
+def compute_disc_features(mc, feet_idx, osc, sim, contact_filt, root_h):
+    """49-d discriminator features of an arbitrary (possibly pre-reset) sim
+    state — the reference's get_disc_observations (bbc legged_robot.py:343).
+
+    Exists as a standalone function so `step` can evaluate it on the
+    *terminal* physics state before the masked reset: the reference patches
+    the disc window of reset envs with the terminal state's disc obs
+    (bbc/rsl_rl/runners/on_policy_runner.py:166-181), not the previous
+    step's cached observation.
+    """
+    bq = sim.base_quat
+    base_lin_vel = qm.quat_rotate_inverse(bq, sim.u[:, :3])
+    base_ang_vel = qm.quat_rotate_inverse(bq, sim.u[:, 3:6])
+    roll, pitch, _ = qm.euler_from_quat(bq)
+    imu = jnp.stack([roll, pitch], -1)
+    bp, _, _, _ = jax.vmap(lambda si: eng.refresh_sim_state(mc, si))(sim)
+    key_pos_w = bp[:, feet_idx]
+    hq = qm.heading_quat_inv(bq)
+    flat_key_pos = qm.quat_rotate(
+        hq[:, None, :], key_pos_w - sim.base_pos[:, None, :]
+    ).reshape(bq.shape[0], -1)
+    dof_err = (sim.dof_pos - mc.default_dof_pos) * osc.dof_pos
+    dof_vel = sim.u[:, 6:] * osc.dof_vel
+    cf = contact_filt.astype(jnp.float32)
+    return jnp.concatenate(
+        [imu, root_h, base_lin_vel * osc.lin_vel_dist,
+         base_ang_vel * osc.ang_vel_dist, dof_err, dof_vel,
+         flat_key_pos * osc.key_pos, cf * osc.foot_contact], axis=-1)
+
+
 class Go2LocomotionEnv:
     """Static env data + pure step/reset functions."""
 
@@ -354,8 +384,11 @@ class Go2LocomotionEnv:
         rew, terms = self._compute_reward(new_state_partial)
         episode_sums = state.episode_sums + terms
 
-        # --- terminal disc obs: previous step's cached disc obs (:153-155) ---
-        terminal_disc_obs = state.disc_obs
+        # --- terminal disc obs: disc features of the PRE-reset (terminal)
+        # physics state (on_policy_runner.py:166-181) ---
+        terminal_disc_obs = compute_disc_features(
+            self.mc, self.feet_idx, cfg.normalization.obs_scales,
+            sim, contact_filt, root_h[:, None])
 
         # --- masked reset (:178-240) ---
         mid = LocoState(
@@ -544,25 +577,18 @@ class Go2LocomotionEnv:
         else:
             root_h = sim.base_pos[:, 2:3]
 
-        # key body (feet) positions in heading frame (compute_flat_key_pos :1377)
-        bp, _, _, _ = jax.vmap(lambda si: eng.refresh_sim_state(self.mc, si))(sim)
-        key_pos_w = bp[:, self.feet_idx]
-        hq = qm.heading_quat_inv(bq)
-        flat_key_pos = qm.quat_rotate(
-            hq[:, None, :], key_pos_w - sim.base_pos[:, None, :]).reshape(-1, 12)
-
         dof_err = (sim.dof_pos - self.mc.default_dof_pos) * osc.dof_pos
         dof_vel = sim.u[:, 6:] * osc.dof_vel
         cf = state.contact_filt.astype(jnp.float32)
 
-        disc_obs = jnp.concatenate(
-            [imu, root_h, base_lin_vel * osc.lin_vel_dist,
-             base_ang_vel * osc.ang_vel_dist, dof_err, dof_vel,
-             flat_key_pos * osc.key_pos, cf * osc.foot_contact], axis=-1)
+        disc_obs = compute_disc_features(
+            self.mc, self.feet_idx, osc, sim, state.contact_filt, root_h)
 
+        # prop's key-pos block is zeroed in the reference (legged_robot.py:284)
         prop = jnp.concatenate(
             [imu, base_ang_vel * osc.ang_vel, dof_err, dof_vel,
-             state.action_history[:, -1], cf - 0.5, flat_key_pos * 0.0], axis=-1)
+             state.action_history[:, -1], cf - 0.5,
+             jnp.zeros((self.num_envs, 12), jnp.float32)], axis=-1)
 
         root_h_obs = root_h if cfg.env.root_height_obs else jnp.zeros_like(root_h)
         priv_explicit = jnp.concatenate([root_h_obs, base_lin_vel * osc.lin_vel], -1)

@@ -32,6 +32,33 @@ def load_into(path: str, template: Any) -> Any:
         return ser.from_bytes(template, f.read())
 
 
+def load_into_strict(path: str, template: Any) -> Any:
+    """load_into + leaf-shape validation (flax's from_bytes restores
+    whatever array shapes are stored; a resume artifact from a different
+    config must be rejected, not silently accepted)."""
+    import jax
+    import numpy as np
+
+    restored = load_into(path, template)
+    for a, b in zip(jax.tree_util.tree_leaves(template),
+                    jax.tree_util.tree_leaves(restored)):
+        if np.shape(a) != np.shape(b):
+            raise ValueError(
+                f"checkpoint leaf shape {np.shape(b)} != expected {np.shape(a)}")
+    return restored
+
+
+def sibling_state(model_path: str) -> Optional[str]:
+    """Full-TrainState artifact saved next to a slim model checkpoint
+    (model_<step>.msgpack -> state_<step>.msgpack).  Returns None if the run
+    predates full-state saving (slim-only restore still works)."""
+    d, name = os.path.split(model_path)
+    if not name.startswith("model"):
+        return None
+    p = os.path.join(d, "state" + name[len("model"):])
+    return p if os.path.exists(p) else None
+
+
 def latest(log_dir: str, prefix: str = "model") -> Optional[str]:
     """Resolve the newest checkpoint like the reference's get_load_path
     (bbc/legged_gym/utils/helpers.py:78-99)."""

@@ -89,6 +89,8 @@ class OnPolicyRunner:
     # ------------------------------------------------------------------
 
     def checkpoint_tree(self):
+        """Slim eval/handoff artifact: what play + the BBC->TSC frozen-weight
+        handoff need (tsc task_registry loads policy/disc/normalizer only)."""
         ts = self.train_state
         return {
             "ac_params": ts.ac_params,
@@ -100,12 +102,46 @@ class OnPolicyRunner:
             "iteration": jnp.asarray(self.current_iteration),
         }
 
+    def full_state_tree(self):
+        """Everything needed for exact resume — the analogue of the
+        reference's 6-optimizer checkpoint dict (bbc/rsl_rl/runners/
+        on_policy_runner.py:306-339), plus env state and the disc window so
+        a restart continues bit-identically: TrainState carries all optimizer
+        states, the disc replay ring, learning/priv-reg counters,
+        task_obs_weight, and the PRNG key."""
+        return {
+            "train_state": self.train_state,
+            "env_state": self.env_state,
+            "disc_hist": self.disc_hist,
+            "iteration": jnp.asarray(self.current_iteration),
+        }
+
     def save(self, step: int):
         path = ckpt.save(os.path.join(self.log_dir, "model.msgpack"),
                          jax.device_get(self.checkpoint_tree()), step=step)
+        ckpt.save(os.path.join(self.log_dir, "state.msgpack"),
+                  jax.device_get(self.full_state_tree()), step=step)
         return path
 
     def load(self, path: str):
+        """Restore from a model checkpoint path; prefers the sibling full
+        TrainState artifact (exact resume), falls back to the slim tree."""
+        state_path = ckpt.sibling_state(path)
+        if state_path:
+            # exact resume requires matching config (env count, buffer sizes);
+            # eval-time loads with different shapes fall through to the slim
+            # artifact, like the reference's weights-only load
+            try:
+                restored = ckpt.load_into_strict(
+                    state_path, jax.device_get(self.full_state_tree()))
+                dev = lambda t: jax.tree.map(jnp.asarray, t)
+                self.train_state = dev(restored["train_state"])
+                self.env_state = dev(restored["env_state"])
+                self.disc_hist = jnp.asarray(restored["disc_hist"])
+                self.current_iteration = int(restored["iteration"])
+                return
+            except (ValueError, KeyError) as e:
+                print(f"full-state restore mismatch ({e}); loading weights only")
         restored = ckpt.load_into(path, jax.device_get(self.checkpoint_tree()))
         ts = self.train_state
         self.train_state = ts._replace(

@@ -100,6 +100,7 @@ class TscOnPolicyRunner:
               f"({num_iterations * steps_per_iter / total:,.0f} env-steps/s)")
 
     def checkpoint_tree(self):
+        """Slim eval artifact (teacher policy + estimator)."""
         ts = self.train_state
         return {
             "ac_params": ts.ac_params,
@@ -108,11 +109,38 @@ class TscOnPolicyRunner:
             "iteration": jnp.asarray(self.current_iteration),
         }
 
+    def full_state_tree(self):
+        """Exact-resume artifact: full TrainState (optimizers, counters) +
+        env state + disc window — tsc on_policy_runner.py:610-661 contents
+        plus sim continuity."""
+        return {
+            "train_state": self.train_state,
+            "env_state": self.env_state,
+            "disc_hist": self.disc_hist,
+            "iteration": jnp.asarray(self.current_iteration),
+        }
+
     def save(self, step: int):
-        return ckpt.save(os.path.join(self.log_dir, "model.msgpack"),
+        path = ckpt.save(os.path.join(self.log_dir, "model.msgpack"),
                          jax.device_get(self.checkpoint_tree()), step=step)
+        ckpt.save(os.path.join(self.log_dir, "state.msgpack"),
+                  jax.device_get(self.full_state_tree()), step=step)
+        return path
 
     def load(self, path: str):
+        state_path = ckpt.sibling_state(path)
+        if state_path:
+            try:
+                restored = ckpt.load_into_strict(
+                    state_path, jax.device_get(self.full_state_tree()))
+                dev = lambda t: jax.tree.map(jnp.asarray, t)
+                self.train_state = dev(restored["train_state"])
+                self.env_state = dev(restored["env_state"])
+                self.disc_hist = jnp.asarray(restored["disc_hist"])
+                self.current_iteration = int(restored["iteration"])
+                return
+            except (ValueError, KeyError) as e:
+                print(f"full-state restore mismatch ({e}); loading weights only")
         restored = ckpt.load_into(path, jax.device_get(self.checkpoint_tree()))
         self.train_state = self.train_state._replace(
             ac_params=restored["ac_params"],

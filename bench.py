@@ -9,7 +9,17 @@ Baseline: the reference's derived RTX 3090 BBC training throughput,
 training-iteration throughput (rollout + PPO + discriminator updates)
 at 4096 envs, the same accounting the baseline derives from.
 
-Env knobs: BENCH_ENVS (default 4096), BENCH_ITERS (default 5).
+The run is split into phases with stderr heartbeats so a supervising
+timeout can see progress; all jitted computations go through the
+persistent compilation cache (primed by an in-session run with the same
+shapes, so a cold driver run only loads compiled binaries).
+
+Env knobs:
+  BENCH_ENVS   (default 4096)  env count
+  BENCH_ITERS  (default 5)     measured iterations
+  BENCH_FAST   (default 0)     1 = shrink the *setup* compile surface
+                               (expert preload size, replay ring) without
+                               touching the measured train iteration
 """
 import json
 import os
@@ -17,6 +27,16 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_T0 = time.time()
+
+
+def _beat(msg):
+    sys.stderr.write(f"[bench +{time.time() - _T0:7.1f}s] {msg}\n")
+    sys.stderr.flush()
+
+
+_beat("start")
 
 import jax
 
@@ -26,14 +46,17 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import jax.numpy as jnp
 
+_beat(f"jax imported, backend={jax.default_backend()}")
+
 
 def main():
-    from agility_tpu.envs.config import Go2LocomotionCfg, EnvCfg, TerrainCfg, DomainRandCfg
+    from agility_tpu.envs.config import Go2LocomotionCfg, EnvCfg, TerrainCfg
     from agility_tpu.envs.go2_locomotion import Go2LocomotionEnv
     from agility_tpu.learn.ssinfogail import AlgoCfg, SSInfoGAIL
 
     num_envs = int(os.environ.get("BENCH_ENVS", "4096"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
+    fast = os.environ.get("BENCH_FAST", "0") == "1"
 
     # full BBC configuration (rough terrain, domain rand, mocap init) at the
     # reference's env count; synthetic gait data keeps the bench hermetic
@@ -42,19 +65,26 @@ def main():
         terrain=TerrainCfg(num_rows=4, num_cols=4, border_size=10.0),
     )
     env = Go2LocomotionEnv(cfg)
-    algo_cfg = AlgoCfg(num_preload_transitions=50_000,
+    _beat("env built")
+    # BENCH_FAST shrinks only setup-time compile surface (preload jits);
+    # the measured train_iteration is identical either way
+    preload = 4096 if fast else 50_000
+    algo_cfg = AlgoCfg(num_preload_transitions=preload,
                        disc_replay_buffer_size=(500_000 // num_envs) * num_envs)
     alg = SSInfoGAIL(env, algo_cfg, seed=0)
+    _beat("alg built (expert transitions preloaded)")
 
     ts = alg.init_train_state(jax.random.PRNGKey(0))
     es = env.init_state(jax.random.PRNGKey(1))
     dh = jnp.repeat(es.disc_obs[:, None], cfg.env.disc_obs_len, axis=1)
+    jax.block_until_ready(es.sim.base_pos)
+    _beat("states initialized; compiling train_iteration")
 
     it_fn = jax.jit(alg.train_iteration)
     t0 = time.time()
     ts, es, dh, metrics = it_fn(ts, es, dh, jnp.asarray(1))
     jax.block_until_ready(metrics)
-    sys.stderr.write(f"compile+first iter: {time.time() - t0:.1f}s\n")
+    _beat(f"compile+first iter done ({time.time() - t0:.1f}s); measuring {iters} iters")
 
     t0 = time.time()
     for i in range(iters):
@@ -68,6 +98,7 @@ def main():
     # secondary kernel metric (BASELINE.json): one contact-LCP block is
     # solved per env per physics substep (decimation 4 per control step)
     solves_per_sec = env_steps_per_sec * cfg.control.decimation
+    _beat(f"measured {dt * 1e3:.1f} ms/iter")
     sys.stderr.write(f"contact_qp_solves_per_sec: {solves_per_sec:,.0f}\n")
     print(json.dumps({
         "metric": "env_steps_per_sec",
