@@ -26,6 +26,10 @@ def get_args():
     p.add_argument("--wz", type=float, default=0.0)
     p.add_argument("--mocap_dir", default=None)
     p.add_argument("--dump", default=None, help="write trajectory .npz here")
+    p.add_argument("--compare_gait", action="store_true",
+                   help="check rollout gait statistics against per-mode "
+                        "bands derived from the mocap clips (behavior-parity "
+                        "harness, io/gait.py); exits 1 on failure")
     return p.parse_args()
 
 
@@ -100,6 +104,20 @@ def main():
     if args.dump:
         np.savez(args.dump, **{k: np.stack(v) for k, v in traj.items()})
         print(f"trajectory written to {args.dump}")
+    if args.compare_gait:
+        from agility_tpu.io import gait
+
+        # skip the transient: settle into the gait before measuring
+        stats = gait.gait_stats(contact[100:] if len(contact) > 200 else contact,
+                                env.dt)
+        bands = gait.bands_from_motion(env.motion, mode_idx)
+        if not bands:
+            print(f"no mocap clips for mode {args.mode}; cannot compare")
+            raise SystemExit(2)
+        verdict = gait.compare(stats, bands)
+        print(gait.format_report(stats, bands, verdict))
+        if not verdict["ok"]:
+            raise SystemExit(1)
 
 
 if __name__ == "__main__":

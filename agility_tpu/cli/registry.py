@@ -41,9 +41,32 @@ def _tsc_algo_cfg():
     return TscAlgoCfg()
 
 
+def _bbc_32k_cfg():
+    """BASELINE configs[4]: 32k envs sharded across a multi-host slice.
+    Envs are pure data parallelism, so the preset widens the batch and the
+    terrain grid; pair with --shard/--multihost (cli/train_bbc.py)."""
+    cfg = bbc_config.Go2LocomotionCfg()
+    return dataclasses.replace(
+        cfg,
+        env=dataclasses.replace(cfg.env, num_envs=32768),
+        terrain=dataclasses.replace(cfg.terrain, num_rows=8, num_cols=8))
+
+
+def _tsc_32k_cfg():
+    from agility_tpu.envs.tsc_config import Go2AgilityCfg
+
+    cfg = Go2AgilityCfg()
+    return dataclasses.replace(
+        cfg,
+        env=dataclasses.replace(cfg.env, num_envs=32768),
+        obstacle=dataclasses.replace(cfg.obstacle, courses=256))
+
+
 register("go2_locomotion", bbc_config.Go2LocomotionCfg, AlgoCfg)
 register("go2_locomotion_smoke", lambda: bbc_config.smoke_cfg(64), AlgoCfg)
+register("go2_locomotion_32k", _bbc_32k_cfg, AlgoCfg)
 register("go2", _tsc_cfg, _tsc_algo_cfg)   # TSC agility task (reference name)
+register("go2_32k", _tsc_32k_cfg, _tsc_algo_cfg)
 
 
 def apply_overrides(cfg, **kv):

@@ -25,6 +25,14 @@ def get_args():
                         "mocap_all_ulb/); synthetic gaits if omitted")
     p.add_argument("--log_root", default="logs")
     p.add_argument("--log_every", type=int, default=10)
+    # distributed launch (SURVEY §5 distributed backend; the reference has
+    # none — its --horovod flag is dead code)
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() (run one process "
+                        "per host on a pod slice); implies --shard")
+    p.add_argument("--shard", action="store_true",
+                   help="shard envs over all visible devices on an "
+                        "('env',) mesh (replicated params, DP)")
     # domain-randomization switches (reference flag vocabulary,
     # bbc/legged_gym/utils/helpers.py:171-230)
     for flag in ("push_robots", "randomize_friction", "randomize_base_mass",
@@ -36,6 +44,13 @@ def get_args():
 
 def main():
     args = get_args()
+
+    if args.multihost:
+        import jax
+
+        jax.distributed.initialize()
+        print(f"multihost: process {jax.process_index()}/{jax.process_count()}"
+              f", {jax.device_count()} devices")
 
     from agility_tpu.cli import registry
     from agility_tpu.envs.go2_locomotion import Go2LocomotionEnv
@@ -55,8 +70,16 @@ def main():
     exp_name = args.experiment_name or args.task
     log_dir = os.path.join(args.log_root, exp_name, str(args.experiment_idx))
 
+    mesh = None
+    if args.shard or args.multihost:
+        from agility_tpu.dist import mesh as dist_mesh
+
+        mesh = dist_mesh.make_mesh()
+        print(f"env-sharded over {mesh.devices.size} devices")
+
     env = Go2LocomotionEnv(cfg)
-    runner = OnPolicyRunner(env, make_algo_cfg(), log_dir=log_dir, seed=args.seed)
+    runner = OnPolicyRunner(env, make_algo_cfg(), log_dir=log_dir,
+                            seed=args.seed, mesh=mesh)
 
     if args.resume or args.checkpoint:
         path = args.checkpoint or ckpt.latest(log_dir)

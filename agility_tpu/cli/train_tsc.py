@@ -29,6 +29,11 @@ def get_args():
     p.add_argument("--log_root", default="logs")
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--debug", action="store_true", help="64 envs, tiny world")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() (one process per "
+                        "host on a pod slice); implies --shard")
+    p.add_argument("--shard", action="store_true",
+                   help="shard envs over all visible devices ('env' mesh)")
     return p.parse_args()
 
 
@@ -37,6 +42,12 @@ def main():
 
     import jax
 
+    args_pre = get_args()
+    if args_pre.multihost:
+        jax.distributed.initialize()
+        print(f"multihost: process {jax.process_index()}/{jax.process_count()}"
+              f", {jax.device_count()} devices")
+
     from agility_tpu.envs.go2_agility import Go2AgilityEnv
     from agility_tpu.envs.tsc_config import Go2AgilityCfg, tsc_smoke_cfg
     from agility_tpu.io import checkpoint as ckpt
@@ -44,7 +55,7 @@ def main():
     from agility_tpu.learn.runner_tsc import TscOnPolicyRunner, load_bbc_frozen
     from agility_tpu.learn.vision_tsc import TscVision, VisionCfg
 
-    args = get_args()
+    args = args_pre
     if args.debug:
         cfg = tsc_smoke_cfg(num_envs=64, courses=8)
     else:
@@ -63,9 +74,16 @@ def main():
     env = Go2AgilityEnv(cfg)
     bbc = load_bbc_frozen(args.bbc_path, seed=args.seed)
 
+    mesh = None
+    if args.shard or args.multihost:
+        from agility_tpu.dist import mesh as dist_mesh
+
+        mesh = dist_mesh.make_mesh()
+        print(f"env-sharded over {mesh.devices.size} devices")
+
     if not args.use_camera:
         runner = TscOnPolicyRunner(env, bbc, TscAlgoCfg(), log_dir=log_dir,
-                                   seed=args.seed)
+                                   seed=args.seed, mesh=mesh)
         if args.resumeid:
             path = ckpt.latest(os.path.join(args.log_root, args.proj_name, args.resumeid))
             if path:

@@ -65,10 +65,18 @@ class AgilityState(NamedTuple):
     delta_next_yaw: jnp.ndarray
     leave_goal: jnp.ndarray          # (N,) bool
     reached_goal: jnp.ndarray        # (N,) bool
-    # curriculum
-    bar_bias: jnp.ndarray            # () global curriculum bias
-    tire_bias: jnp.ndarray
-    curr_count: jnp.ndarray          # () int
+    # curriculum: PER-ENV movable obstacle heights, resampled at reset within
+    # ranges widened by curr_count (reference resamples per-env heights on
+    # success, tsc legged_robot.py:917-957 — a global bias would collapse
+    # the height distribution)
+    bar_h: jnp.ndarray               # (N,) bar beam height
+    tire_h: jnp.ndarray              # (N,) tire aperture height
+    # 1-DOF passive seesaw plank per env (reference: revolute DOF with zero
+    # stiffness + viscous damping, tsc legged_robot.py:1414-1427); effective
+    # plank height = pivot + lever(x, y) * theta at heightfield sample time
+    seesaw_theta: jnp.ndarray        # (N,) plank angle (tan approx)
+    seesaw_theta_d: jnp.ndarray      # (N,) plank angular velocity
+    curr_count: jnp.ndarray          # () int — widens the sampling ranges
     success_rate: jnp.ndarray        # () EMA of course completion
     # bookkeeping
     episode_sums: jnp.ndarray
@@ -117,7 +125,9 @@ class Go2AgilityEnv:
         world = obst_gen.generate(cfg.obstacle, seed=cfg.seed)
         self.world = world
         self.grid = hf.from_numpy(world.height, world.hscale, world.origin,
-                                  layer_id=world.layer_id)
+                                  layer_id=world.layer_id, lever=world.lever,
+                                  ceiling=world.ceil,
+                                  ceiling_layer=world.ceil_layer)
         self.x_edge = jnp.asarray(world.x_edge)
         rng = np.random.default_rng(cfg.seed)
         N = self.num_envs
@@ -137,6 +147,8 @@ class Go2AgilityEnv:
             tire_h = rng.uniform(*cfg.obstacle.tire_jump_init_range, N)
         self.bar_h = jnp.asarray(bar_h, jnp.float32)
         self.tire_h = jnp.asarray(tire_h, jnp.float32)
+        # per-env plank joint damping U(1, 10) (tsc legged_robot.py:1414)
+        self.seesaw_damping = jnp.asarray(rng.uniform(1.0, 10.0, N), jnp.float32)
 
         # ---- body tables (go2_agility_config.py: stricter termination) ----
         m = self.model
@@ -168,15 +180,25 @@ class Go2AgilityEnv:
         self.base_params = eng.EnvParams(
             friction=f32(friction), kp_scale=f32(kp_scale), kd_scale=f32(kd_scale),
             added_base_mass=f32(added_mass), base_com_shift=f32(com_shift),
-            hf_weights=jnp.stack([self.bar_h, self.tire_h], axis=-1))
+            hf_weights=jnp.concatenate(
+                [jnp.stack([self.bar_h, self.tire_h], axis=-1),
+                 jnp.full((N, 1), obst_gen.SEESAW_THETA_REST, jnp.float32)], -1))
         self.mass_params = f32(np.concatenate([added_mass[:, None], com_shift], -1))
         self.kp = jnp.full(12, cfg.control.stiffness, jnp.float32)
         self.kd = jnp.full(12, cfg.control.damping, jnp.float32)
 
-        # scandot grid (obstacle cfg 12 x 11)
+        # scandot grid (obstacle cfg 12 x 11), per-env with optional static
+        # horizontal measurement noise (sum of two uniform draws, reference
+        # _init_height_points, tsc legged_robot.py:1674-1699)
         ob = cfg.obstacle
         gx, gy = np.meshgrid(ob.measured_points_x, ob.measured_points_y, indexing="ij")
-        self.height_points = f32(np.stack([gx.ravel(), gy.ravel(), np.zeros(gx.size)], -1))
+        pts = np.stack([gx.ravel(), gy.ravel(), np.zeros(gx.size)], -1)   # (P, 3)
+        pts = np.tile(pts[None], (N, 1, 1))
+        hn = ob.measure_horizontal_noise
+        if hn > 0.0:
+            pts[:, :, :2] += (rng.uniform(-hn, hn, (N, gx.size, 2))
+                              + rng.uniform(-hn, hn, (N, gx.size, 2)))
+        self.height_points = f32(pts)                                     # (N, P, 3)
         self.n_height_points = gx.size
         self.center_height_idx = self.n_height_points // 2 + 1
 
@@ -197,15 +219,39 @@ class Go2AgilityEnv:
 
     # ------------------------------------------------------------------
 
+    def _weights(self, state) -> jnp.ndarray:
+        """(N, 3) heightfield weights: [bar height, tire height, plank tilt]
+        — layer offsets for movable parts + the seesaw lever multiplier."""
+        return jnp.stack(
+            [state.bar_h, state.tire_h, state.seesaw_theta], axis=-1)
+
     def _params_with_bias(self, state) -> eng.EnvParams:
-        w = jnp.stack(
-            [self.bar_h + state.bar_bias, self.tire_h + state.tire_bias], axis=-1)
-        return self.base_params._replace(hf_weights=w)
+        return self.base_params._replace(hf_weights=self._weights(state))
+
+    def _sample_heights_where(self, state, mask, key):
+        """Per-env bar/tire height resampling at reset, within ranges widened
+        by the curriculum count (tsc legged_robot.py:917-957)."""
+        ob = self.cfg.obstacle
+        N = self.num_envs
+        kb, kt = jax.random.split(key)
+        if ob.curriculum:
+            lo_b, hi_b0 = ob.bar_jump_init_range
+            lo_t, hi_t0 = ob.tire_jump_init_range
+            widen = state.curr_count.astype(jnp.float32) * ob.curr_step
+            hi_b = jnp.minimum(hi_b0 + widen, ob.bar_jump_max_range[1])
+            hi_t = jnp.minimum(hi_t0 + widen, ob.tire_jump_max_range[1])
+        else:
+            lo_b, hi_b = ob.bar_jump_range
+            lo_t, hi_t = ob.tire_jump_range
+        bar_new = lo_b + (hi_b - lo_b) * jax.random.uniform(kb, (N,))
+        tire_new = lo_t + (hi_t - lo_t) * jax.random.uniform(kt, (N,))
+        return (jnp.where(mask, bar_new, state.bar_h),
+                jnp.where(mask, tire_new, state.tire_h))
 
     def _goal_z(self, state, goals, layers):
         """Movable goal heights (bar/tire center goals follow joint height)."""
-        bar = self.bar_h + state.bar_bias
-        tire = self.tire_h + state.tire_bias
+        bar = state.bar_h
+        tire = state.tire_h
         add = jnp.where(layers == obst_gen.LAYER_BAR, bar[:, None],
                         jnp.where(layers == obst_gen.LAYER_TIRE, tire[:, None], 0.0))
         return goals.at[..., 2].add(add)
@@ -249,7 +295,9 @@ class Go2AgilityEnv:
             target_yaw=jnp.zeros(N), next_target_yaw=jnp.zeros(N),
             delta_yaw=jnp.zeros(N), delta_next_yaw=jnp.zeros(N),
             leave_goal=jnp.zeros(N, bool), reached_goal=jnp.zeros(N, bool),
-            bar_bias=jnp.zeros(()), tire_bias=jnp.zeros(()),
+            bar_h=self.bar_h, tire_h=self.tire_h,
+            seesaw_theta=jnp.full(N, obst_gen.SEESAW_THETA_REST),
+            seesaw_theta_d=jnp.zeros(N),
             curr_count=jnp.zeros((), jnp.int32), success_rate=jnp.zeros(()),
             episode_sums=jnp.zeros((N, self.n_rew)),
             reset_buf=jnp.zeros(N, bool), time_out_buf=jnp.zeros(N, bool),
@@ -336,9 +384,27 @@ class Go2AgilityEnv:
         control = eng.Control(target=target, kp=jnp.tile(self.kp, (N, 1)),
                               kd=jnp.tile(self.kd, (N, 1)))
 
-        sim, (tau, tau_org), body_forces, _, _ = jax.vmap(
-            lambda si, ci, pi: eng.control_step(self.mc, self.engine_cfg, self.grid, si, ci, pi)
-        )(state.sim, control, params)
+        sim, (tau, tau_org), body_forces, _, _ = eng.step_batch(
+            self.mc, self.engine_cfg, self.grid, state.sim, control, params)
+
+        # --- passive seesaw plank dynamics (tsc legged_robot.py:1414-1427):
+        # feet normal forces on plank cells torque the per-env plank angle;
+        # semi-implicit Euler at control rate with per-env viscous damping
+        # and hard stops where the plank ends touch the ground ---
+        from agility_tpu.physics import soa as soa_mod
+
+        feet_pos = soa_mod.body_positions(self.mc, sim, self.feet_idx)   # (N, 4, 3)
+        lever_arm = jax.vmap(
+            lambda p: hf.sample_lever(self.grid, p[:, 0], p[:, 1]))(feet_pos)
+        fz = body_forces[:, self.feet_idx, 2]                 # upward on robot
+        plank_tau = -jnp.sum(lever_arm * fz, axis=1)          # reaction torque
+        th_d = state.seesaw_theta_d + self.dt * (
+            plank_tau - self.seesaw_damping * state.seesaw_theta_d
+        ) / obst_gen.SEESAW_INERTIA
+        th = state.seesaw_theta + self.dt * th_d
+        th_c = jnp.clip(th, -obst_gen.SEESAW_THETA_MAX, obst_gen.SEESAW_THETA_MAX)
+        seesaw_theta_d = jnp.where(th_c == th, th_d, 0.0)
+        seesaw_theta = th_c
 
         episode_length = state.episode_length + 1
         global_counter = state.global_counter + 1
@@ -399,9 +465,9 @@ class Go2AgilityEnv:
         # runner applies the same patch, tsc on_policy_runner.py:216-220).
         # Only the center scan point is needed for root height here — the
         # full scandot grid is computed post-reset in _compute_observations.
-        w = jnp.stack([self.bar_h + state.bar_bias, self.tire_h + state.tire_bias], -1)
+        w = self._weights(state)
         center_pt = qm.quat_apply_yaw(
-            bq, jnp.broadcast_to(self.height_points[self.center_height_idx], (N, 3))
+            bq, self.height_points[:, self.center_height_idx]
         ) + sim.base_pos
         ch = jax.vmap(
             lambda p, wi: hf.sample_height_min3(self.grid, p[0], p[1], wi)
@@ -419,26 +485,25 @@ class Go2AgilityEnv:
             state.success_rate * 0.98 + 0.02 * (n_succ / jnp.maximum(n_end, 1)),
             state.success_rate)
 
-        # obstacle curriculum (:917-957): raise bar/tire globally on success
-        bar_bias, tire_bias, curr_count = state.bar_bias, state.tire_bias, state.curr_count
+        # obstacle curriculum (:917-957): widen the per-env height sampling
+        # ranges on sustained success; heights themselves are resampled
+        # per env at reset (_sample_heights_where)
+        curr_count = state.curr_count
         if cfg.obstacle.curriculum:
             ob = cfg.obstacle
             step_now = ((success_rate > ob.curr_threshold)
                         & (global_counter % (self.max_episode_length * 2) == 0))
             curr_count = curr_count + step_now.astype(jnp.int32)
-            bar_bias = jnp.minimum(
-                curr_count * ob.curr_step, ob.bar_jump_max_range[1] - ob.bar_jump_max_range[0])
-            tire_bias = jnp.minimum(
-                curr_count * ob.curr_step, ob.tire_jump_max_range[1] - ob.tire_jump_max_range[0])
 
         mid = state._replace(
-            sim=sim, episode_length=episode_length, global_counter=global_counter,
+            sim=sim, seesaw_theta=seesaw_theta, seesaw_theta_d=seesaw_theta_d,
+            episode_length=episode_length, global_counter=global_counter,
             key=key, actions_bbc=acts, action_history=action_history,
             torques_org=tau_org, last_contacts=contact, contact_filt=contact_filt,
             cur_goal_idx=cur_goal_idx, reach_goal_timer=reach_goal_timer,
             target_yaw=target_yaw, next_target_yaw=next_target_yaw,
             leave_goal=leave, reached_goal=reached,
-            bar_bias=bar_bias, tire_bias=tire_bias, curr_count=curr_count,
+            curr_count=curr_count,
             success_rate=success_rate, episode_sums=episode_sums,
             reset_buf=reset_buf, time_out_buf=time_out,
             reach_goal_cutoff=reach_goal_cutoff)
@@ -469,7 +534,7 @@ class Go2AgilityEnv:
     def _reset_where(self, state: AgilityState, mask, key) -> AgilityState:
         cfg = self.cfg
         N = self.num_envs
-        ks = jax.random.split(key, 6)
+        ks = jax.random.split(key, 7)
         # start pose: course robot_org + xy/yaw noise (tsc config :42-53)
         e = cfg.env
         dx = jax.random.uniform(ks[0], (N,), minval=-e.rand_x_range,
@@ -498,8 +563,13 @@ class Go2AgilityEnv:
             u=jnp.where(m1, u_new, state.sim.u))
         zero = lambda x: jnp.where(
             mask.reshape((N,) + (1,) * (x.ndim - 1)), jnp.zeros_like(x), x)
+        bar_h, tire_h = self._sample_heights_where(state, mask, ks[6])
         return state._replace(
             sim=sim,
+            bar_h=bar_h, tire_h=tire_h,
+            seesaw_theta=jnp.where(
+                mask, obst_gen.SEESAW_THETA_REST, state.seesaw_theta),
+            seesaw_theta_d=jnp.where(mask, 0.0, state.seesaw_theta_d),
             episode_length=jnp.where(mask, 0, state.episode_length),
             actions_bbc=zero(state.actions_bbc),
             last_actions_bbc=zero(state.last_actions_bbc),
@@ -517,8 +587,8 @@ class Go2AgilityEnv:
     # ------------------------------------------------------------------
 
     def _measure_heights(self, state, base_pos, base_quat):
-        w = jnp.stack([self.bar_h + state.bar_bias, self.tire_h + state.tire_bias], -1)
-        pts = qm.quat_apply_yaw(base_quat[:, None, :], self.height_points[None]) + base_pos[:, None, :]
+        w = self._weights(state)
+        pts = qm.quat_apply_yaw(base_quat[:, None, :], self.height_points) + base_pos[:, None, :]
         if self.engine_cfg.fast and self.engine_cfg.patch_size:
             from agility_tpu.physics import patch as pt
 
@@ -615,8 +685,9 @@ class Go2AgilityEnv:
         terms["latent_c_rate"] = 0.5 * (
             jnp.abs(hl[:, -3, 0] - hl[:, -1, 0]) + jnp.abs(hl[:, -2, 0] - hl[:, -1, 0]))
         # feet on x-edge cells while in contact (:1899-1915)
-        bp, _, _, _ = jax.vmap(lambda si: eng.refresh_sim_state(self.mc, si))(q["sim"])
-        feet_pos = bp[:, self.feet_idx, :2]
+        from agility_tpu.physics import soa
+
+        feet_pos = soa.body_positions(self.mc, q["sim"], self.feet_idx)[:, :, :2]
         gx = jnp.round((feet_pos[..., 0] - self.grid.origin[0]) / self.grid.hscale).astype(jnp.int32)
         gy = jnp.round((feet_pos[..., 1] - self.grid.origin[1]) / self.grid.hscale).astype(jnp.int32)
         gx = jnp.clip(gx, 0, self.x_edge.shape[0] - 1)

@@ -84,13 +84,14 @@ def compute_disc_features(mc, feet_idx, osc, sim, contact_filt, root_h):
     (bbc/rsl_rl/runners/on_policy_runner.py:166-181), not the previous
     step's cached observation.
     """
+    from agility_tpu.physics import soa
+
     bq = sim.base_quat
     base_lin_vel = qm.quat_rotate_inverse(bq, sim.u[:, :3])
     base_ang_vel = qm.quat_rotate_inverse(bq, sim.u[:, 3:6])
     roll, pitch, _ = qm.euler_from_quat(bq)
     imu = jnp.stack([roll, pitch], -1)
-    bp, _, _, _ = jax.vmap(lambda si: eng.refresh_sim_state(mc, si))(sim)
-    key_pos_w = bp[:, feet_idx]
+    key_pos_w = soa.body_positions(mc, sim, feet_idx)
     hq = qm.heading_quat_inv(bq)
     flat_key_pos = qm.quat_rotate(
         hq[:, None, :], key_pos_w - sim.base_pos[:, None, :]
@@ -328,10 +329,9 @@ class Go2LocomotionEnv:
 
         control = eng.Control(target=target, kp=jnp.tile(self.kp, (N, 1)), kd=jnp.tile(self.kd, (N, 1)))
 
-        # --- physics (decimated substeps) ---
-        sim, (tau, tau_org), body_forces, _, terrain_patch = jax.vmap(
-            lambda si, ci, pi: eng.control_step(self.mc, self.engine_cfg, self.grid, si, ci, pi)
-        )(state.sim, control, self.params)
+        # --- physics (decimated substeps; SoA/vmap/pallas per engine cfg) ---
+        sim, (tau, tau_org), body_forces, _, terrain_patch = eng.step_batch(
+            self.mc, self.engine_cfg, self.grid, state.sim, control, self.params)
 
         episode_length = state.episode_length + 1
         global_counter = state.global_counter + 1

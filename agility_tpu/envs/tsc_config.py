@@ -129,7 +129,8 @@ class DepthCfg:
     use_camera: bool = False
     position: Tuple[float, float, float] = (0.305, 0.0175, 0.098)
     angle_range: Tuple[float, float] = (-5.0, 5.0)    # pitch randomization [deg]
-    update_interval: int = 1
+    update_interval: int = 5    # camera refresh period in control steps
+    #                             (reference legged_robot_config.py:63-84)
     resized: Tuple[int, int] = (87, 58)               # (W, H)
     horizontal_fov: float = 87.0
     buffer_len: int = 2

@@ -24,7 +24,12 @@ from agility_tpu.learn.ssinfogail import AlgoCfg, SSInfoGAIL
 
 class OnPolicyRunner:
     def __init__(self, env: Go2LocomotionEnv, algo_cfg: AlgoCfg = AlgoCfg(),
-                 log_dir: Optional[str] = None, seed: int = 1):
+                 log_dir: Optional[str] = None, seed: int = 1, mesh=None):
+        """`mesh`: optional jax.sharding.Mesh with an ("env",) axis — envs
+        are sharded along it and parameters replicated (pure data
+        parallelism; SURVEY §5 distributed backend).  Build it with
+        dist.mesh.make_mesh(); on a multi-host slice call
+        jax.distributed.initialize() first (cli/train_bbc.py --multihost)."""
         self.env = env
         self.alg = SSInfoGAIL(env, algo_cfg, seed=seed)
         self.cfg = algo_cfg
@@ -32,14 +37,33 @@ class OnPolicyRunner:
         self.writer = MetricWriter(log_dir) if log_dir else None
         self.save_interval = 100
         self.current_iteration = 0
+        self.mesh = mesh
 
         key = jax.random.PRNGKey(seed)
         k_env, k_train = jax.random.split(key)
-        self.env_state = env.init_state(k_env)
-        self.train_state = self.alg.init_train_state(k_train)
+        # jitted init: eager construction dispatches thousands of tiny ops
+        # (minutes over a remote-device tunnel); one compiled program is
+        # cacheable and fast
+        self.env_state = jax.jit(env.init_state)(k_env)
+        self.train_state = jax.jit(self.alg.init_train_state)(k_train)
         self.disc_hist = jnp.repeat(
             self.env_state.disc_obs[:, None], env.cfg.env.disc_obs_len, axis=1)
+        if mesh is not None:
+            self._shard_states()
         self._iter = jax.jit(self.alg.train_iteration)
+
+    def _shard_states(self):
+        """Place env state on the ("env",) mesh axis, replicate the train
+        state; GSPMD propagates the layout through train_iteration and
+        inserts the cross-device reductions (advantage normalization,
+        metric means) over ICI."""
+        from agility_tpu.dist import mesh as dist_mesh
+
+        n = self.env.num_envs
+        self.env_state = dist_mesh.shard_env_tree(self.env_state, self.mesh, n)
+        self.disc_hist = jax.device_put(
+            self.disc_hist, dist_mesh.env_sharding(self.mesh))
+        self.train_state = dist_mesh.replicate_tree(self.train_state, self.mesh)
 
     def learn(self, num_iterations: int, init_at_random_ep_len: bool = True,
               log_every: int = 10):

@@ -50,7 +50,9 @@ def load_bbc_frozen(path: Optional[str], seed: int = 0) -> BBCFrozen:
 class TscOnPolicyRunner:
     def __init__(self, env: Go2AgilityEnv, bbc: BBCFrozen,
                  algo_cfg: TscAlgoCfg = TscAlgoCfg(),
-                 log_dir: Optional[str] = None, seed: int = 1):
+                 log_dir: Optional[str] = None, seed: int = 1, mesh=None):
+        """`mesh`: optional ("env",) jax.sharding.Mesh — env-axis data
+        parallelism as in OnPolicyRunner (cli/train_tsc.py --multihost)."""
         self.env = env
         self.alg = TscPPO(env, bbc, algo_cfg, seed=seed)
         self.cfg = algo_cfg
@@ -58,13 +60,25 @@ class TscOnPolicyRunner:
         self.writer = MetricWriter(log_dir) if log_dir else None
         self.save_interval = 100
         self.current_iteration = 0
+        self.mesh = mesh
 
         key = jax.random.PRNGKey(seed)
         k_env, k_train = jax.random.split(key)
-        self.env_state = env.init_state(k_env)
-        self.train_state = self.alg.init_train_state(k_train)
+        # jitted init: eager construction dispatches thousands of tiny ops
+        # (minutes over a remote-device tunnel); one compiled program is
+        # cacheable and fast
+        self.env_state = jax.jit(env.init_state)(k_env)
+        self.train_state = jax.jit(self.alg.init_train_state)(k_train)
         self.disc_hist = jnp.repeat(
             self.env_state.disc_obs[:, None], env.cfg.env.disc_obs_len, axis=1)
+        if mesh is not None:
+            from agility_tpu.dist import mesh as dist_mesh
+
+            n = env.num_envs
+            self.env_state = dist_mesh.shard_env_tree(self.env_state, mesh, n)
+            self.disc_hist = jax.device_put(
+                self.disc_hist, dist_mesh.env_sharding(mesh))
+            self.train_state = dist_mesh.replicate_tree(self.train_state, mesh)
         self._iter = jax.jit(self.alg.train_iteration)
 
     def learn(self, num_iterations: int, log_every: int = 10):

@@ -112,8 +112,7 @@ class TscVision:
 
     def render(self, key, es: AgilityState):
         """(N, H, W) processed depth images from the current state."""
-        w = jnp.stack([self.env.bar_h + es.bar_bias,
-                       self.env.tire_h + es.tire_bias], axis=-1)
+        w = jnp.stack([es.bar_h, es.tire_h, es.seesaw_theta], axis=-1)
         depth = jax.vmap(
             lambda bp, bq, cp, wi: raycast.render_depth(
                 self.cam, self.env.grid, bp, bq, cp, wi)
@@ -124,15 +123,17 @@ class TscVision:
                 k, d, self.cam.near, self.cam.far, self.env.cfg.depth.depth_noise)
         )(keys, depth)
 
-    def _student_heads(self, enc_params, actor_params, depth, prop_masked,
-                       hidden, obs, teacher_dyaw_ok):
-        """One student forward: encoder -> swapped obs -> depth-actor heads."""
-        cfg = self.cfg
+    def _encode(self, enc_params, depth, prop_masked, hidden):
+        """Depth encoder step (runs only on camera-refresh steps)."""
         out, hidden = self.encoder.apply(enc_params, depth, prop_masked, hidden)
         lat = out[:, :32]
-        dyaw = cfg.yaw_scale * out[:, 32:34]
+        dyaw = self.cfg.yaw_scale * out[:, 32:34]
         types = out[:, 34:]
-        s = self.slices
+        return lat, dyaw, types, hidden
+
+    def _act(self, actor_params, obs, lat, dyaw, types, teacher_dyaw_ok):
+        """Student action heads with the (held) encoder outputs swapped into
+        the observation (runs every control step)."""
         a0 = self.n_prop - self.n_aux
         obs_student = obs.at[:, a0 : a0 + 2].set(
             jnp.where(teacher_dyaw_ok[:, None], dyaw, obs[:, a0 : a0 + 2]))
@@ -141,67 +142,110 @@ class TscVision:
         logits_d, mean_c, _ = self.teacher.ac.apply(
             actor_params, obs_student, method="heads", hist_encoding=True,
             scandots_latent=lat)
-        return logits_d, mean_c, dyaw, types, hidden
+        return logits_d, mean_c
 
     # ------------------------------------------------------------------
 
+    def _prep_obs(self, es):
+        obs = es.obs_buf
+        est = self.teacher.estimator.apply(self.teacher_est_params, obs[:, :57])
+        obs = obs.at[:, self.slices.explicit].set(est)
+        prop_masked = obs[:, : self.n_prop].at[:, self.n_prop - self.n_aux :].set(0.0)
+        return obs, prop_masked
+
     def rollout(self, ts: VisionTrainState, es: AgilityState):
-        """Collect a T-step student trajectory (no grad) with teacher
-        supervision targets."""
+        """Collect a T-step student trajectory with teacher supervision.
+
+        Camera timing follows the reference (legged_robot_config.py:63-84,
+        runner :331-337): depth is rendered and the GRU encoder stepped only
+        every `depth.update_interval` control steps; between refreshes the
+        encoder outputs (scan latent, delta-yaw, obstacle type) are HELD and
+        only the action heads run.  The rollout is therefore structured as
+        `n_refresh` python-unrolled chunks of an inner `interval`-step scan,
+        which also stores depth images at refresh steps only."""
         T = self.cfg.num_steps_per_env
+        interval = self.env.cfg.depth.update_interval
+        key = ts.key
+        hidden = ts.hidden
+        depth_frames = []      # per-chunk refresh images (for update + BYOL)
+        chunk_prop = []        # encoder inputs at refresh steps
+        chunk_data = []        # per-step supervision data
+        ms_all = []
 
-        def step(carry, _):
-            es, hidden, key = carry
-            key, k_depth, k_noise = jax.random.split(key, 3)
-            obs = es.obs_buf
-            obs_bbc = es.obs_bbc_buf
-            est = self.teacher.estimator.apply(self.teacher_est_params, obs[:, :57])
-            obs = obs.at[:, self.slices.explicit].set(est)
+        t = 0
+        while t < T:
+            steps = min(interval, T - t)
+            key, k_depth = jax.random.split(key)
+            obs0, prop_masked0 = self._prep_obs(es)
             depth = self.render(k_depth, es)
-            prop_masked = obs[:, : self.n_prop].at[:, self.n_prop - self.n_aux :].set(0.0)
-            teacher_dyaw = obs[:, self.n_prop - self.n_aux : self.n_prop - self.n_aux + 2]
-            teacher_types = obs[:, self.n_prop - self.n_aux + 2 : self.n_prop]
-            dyaw_ok = jnp.abs(es.delta_yaw) < self.cfg.delta_yaw_ok_thresh
+            lat, dyaw, types, hidden = self._encode(
+                ts.enc_params, depth, prop_masked0, hidden)
+            depth_frames.append(depth)
+            chunk_prop.append(prop_masked0)
 
-            # teacher action (argmax_d, mean_c on true scandots)
-            t_logits, t_mean, _ = self.teacher.ac.apply(
-                self.teacher_params, obs, method="heads", hist_encoding=True)
-            t_d = jnp.argmax(t_logits, -1)
-            actions_teacher = jnp.concatenate(
-                [t_d[:, None].astype(jnp.float32), t_mean], axis=-1)
+            def step(carry, _):
+                es, key = carry
+                key, k = jax.random.split(key)
+                obs, _ = self._prep_obs(es)
+                obs_bbc = es.obs_bbc_buf
+                a0 = self.n_prop - self.n_aux
+                teacher_dyaw = obs[:, a0 : a0 + 2]
+                teacher_types = obs[:, a0 + 2 : self.n_prop]
+                dyaw_ok = jnp.abs(es.delta_yaw) < self.cfg.delta_yaw_ok_thresh
 
-            # student action for env stepping (current params, no grad)
-            s_logits, s_mean, s_dyaw, s_types, hidden = self._student_heads(
-                ts.enc_params, ts.actor_params, depth, prop_masked, hidden,
-                obs, dyaw_ok)
-            actions_student = jnp.concatenate(
-                [jnp.argmax(s_logits, -1)[:, None].astype(jnp.float32), s_mean], -1)
+                # teacher action (argmax_d, mean_c on true scandots)
+                t_logits, t_mean, _ = self.teacher.ac.apply(
+                    self.teacher_params, obs, method="heads", hist_encoding=True)
+                actions_teacher = jnp.concatenate(
+                    [jnp.argmax(t_logits, -1)[:, None].astype(jnp.float32),
+                     t_mean], axis=-1)
 
-            es2, next_commands = self.env.set_commands(es, actions_student)
-            actions_bbc = self.teacher.bbc_act(obs_bbc, next_commands)
-            es3, out = self.env.step(es2, actions_bbc)
+                # student action with the held encoder outputs (no grad)
+                s_logits, s_mean = self._act(
+                    ts.actor_params, obs, lat, dyaw, types, dyaw_ok)
+                actions_student = jnp.concatenate(
+                    [jnp.argmax(s_logits, -1)[:, None].astype(jnp.float32),
+                     s_mean], -1)
 
-            data = dict(depth=depth, prop_masked=prop_masked, obs=obs,
-                        dyaw_ok=dyaw_ok, actions_teacher=actions_teacher,
-                        teacher_dyaw=teacher_dyaw, teacher_types=teacher_types)
-            m = dict(rew=jnp.mean(out.rew), done=jnp.sum(out.reset),
-                     success=jnp.sum(out.reach_goal_cutoff))
-            return (es3, hidden, key), (data, m)
+                es2, next_commands = self.env.set_commands(es, actions_student)
+                actions_bbc = self.teacher.bbc_act(obs_bbc, next_commands)
+                es3, out = self.env.step(es2, actions_bbc)
 
-        (es, hidden, key), (data, ms) = jax.lax.scan(
-            step, (es, ts.hidden, ts.key), None, length=T)
+                data = dict(obs=obs, dyaw_ok=dyaw_ok,
+                            actions_teacher=actions_teacher,
+                            teacher_dyaw=teacher_dyaw,
+                            teacher_types=teacher_types)
+                m = dict(rew=jnp.mean(out.rew), done=jnp.sum(out.reset),
+                         success=jnp.sum(out.reach_goal_cutoff))
+                return (es3, key), (data, m)
+
+            (es, key), (data, ms) = jax.lax.scan(
+                step, (es, key), None, length=steps)
+            chunk_data.append(data)
+            ms_all.append(ms)
+            t += steps
+
         ts = ts._replace(key=key)
-        metrics = {k: jnp.mean(v) if k == "rew" else jnp.sum(v) for k, v in ms.items()}
-        return ts, es, data, hidden, metrics
+        ms = jax.tree.map(lambda *xs: jnp.concatenate(xs), *ms_all)
+        metrics = {k: jnp.mean(v) if k == "rew" else jnp.sum(v)
+                   for k, v in ms.items()}
+        rollout_data = dict(
+            depth=jnp.stack(depth_frames),          # (R, N, H, W)
+            prop_masked=jnp.stack(chunk_prop),      # (R, N, n_prop)
+            chunks=chunk_data)                      # list of per-step pytrees
+        return ts, es, rollout_data, hidden, metrics
 
     # ------------------------------------------------------------------
 
     def update(self, ts: VisionTrainState, data):
         """Distillation losses via recomputation under grad (exact: the env
-        path is detached in the reference, ppo.py:327-358)."""
+        path is detached in the reference, ppo.py:327-358).  The encoder is
+        recomputed only at the refresh steps, chaining the GRU hidden across
+        chunks from the iteration-start state; the action heads are
+        recomputed for every step of every chunk with the chunk's (held)
+        encoder outputs."""
         cfg = self.cfg
-        T = data["depth"].shape[0]
-        N = data["depth"].shape[1]
+        R, N = data["depth"].shape[:2]
         lr = jnp.maximum(
             cfg.learning_rate - (cfg.learning_rate - cfg.learning_rate_min)
             * ts.it.astype(jnp.float32) / cfg.lr_decay_iters,
@@ -212,29 +256,34 @@ class TscVision:
             cfg.learning_rate_min)
 
         def loss_fn(enc_params, actor_params):
-            def step(hidden, x):
-                logits_d, mean_c, dyaw, types, hidden = self._student_heads(
-                    enc_params, actor_params, x["depth"], x["prop_masked"],
-                    hidden, x["obs"], x["dyaw_ok"])
-                return hidden, (logits_d, mean_c, dyaw, types)
-
-            _, (logits_d, mean_c, dyaw, types) = jax.lax.scan(
-                step, ts.hidden, data)
-            flat = lambda x: x.reshape((T * N,) + x.shape[2:])
-            logits_d, mean_c, dyaw, types = map(flat, (logits_d, mean_c, dyaw, types))
-            at = flat(data["actions_teacher"])
-            t_dyaw = flat(data["teacher_dyaw"])
-            t_types = flat(data["teacher_types"])
-
-            d_loss = -jnp.mean(jnp.take_along_axis(
-                jax.nn.log_softmax(logits_d, -1),
-                at[:, 0].astype(jnp.int32)[:, None], axis=-1))
-            c_loss = jnp.mean(jnp.linalg.norm(at[:, 1:] - mean_c, axis=-1))
-            yaw_loss = jnp.mean(jnp.linalg.norm(
-                (t_dyaw - dyaw) * jnp.asarray([2.0, 0.5]), axis=-1))
-            type_loss = -jnp.mean(jnp.take_along_axis(
-                jnp.log(types + 1e-20),
-                jnp.argmax(t_types, -1)[:, None], axis=-1))
+            hidden = ts.hidden
+            d_losses, c_losses, yaw_losses, type_losses = [], [], [], []
+            for r in range(R):
+                lat, dyaw, types, hidden = self._encode(
+                    enc_params, data["depth"][r], data["prop_masked"][r], hidden)
+                ch = data["chunks"][r]
+                steps = ch["obs"].shape[0]
+                flat = lambda x: x.reshape((steps * N,) + x.shape[2:])
+                rep = lambda x: jnp.tile(x, (steps,) + (1,) * (x.ndim - 1))
+                logits_d, mean_c = self._act(
+                    actor_params, flat(ch["obs"]), rep(lat), rep(dyaw),
+                    rep(types), flat(ch["dyaw_ok"]))
+                at = flat(ch["actions_teacher"])
+                d_losses.append(-jnp.take_along_axis(
+                    jax.nn.log_softmax(logits_d, -1),
+                    at[:, 0].astype(jnp.int32)[:, None], axis=-1)[:, 0])
+                c_losses.append(jnp.linalg.norm(at[:, 1:] - mean_c, axis=-1))
+                yaw_losses.append(jnp.linalg.norm(
+                    (flat(ch["teacher_dyaw"]) - rep(dyaw))
+                    * jnp.asarray([2.0, 0.5]), axis=-1))
+                type_losses.append(-jnp.log(jnp.take_along_axis(
+                    rep(types) + 1e-20,
+                    jnp.argmax(flat(ch["teacher_types"]), -1)[:, None],
+                    axis=-1))[:, 0])
+            d_loss = jnp.mean(jnp.concatenate(d_losses))
+            c_loss = jnp.mean(jnp.concatenate(c_losses))
+            yaw_loss = jnp.mean(jnp.concatenate(yaw_losses))
+            type_loss = jnp.mean(jnp.concatenate(type_losses))
             total = d_loss + c_loss + yaw_loss + type_loss
             return total, dict(actor=d_loss + c_loss, yaw=yaw_loss, types=type_loss)
 

@@ -14,6 +14,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from agility_tpu.core import quat as qm
 from agility_tpu.physics import contact as ct
@@ -48,6 +49,8 @@ class EngineConfig:
     #                          0 disables patching (direct grid gathers)
     pallas_contact: bool = False   # fused Pallas LCP kernel (pallas_contact.py)
     pallas_env_block: int = 16
+    soa: bool = True         # env-minor ("batch-last") layout path (soa.py);
+    #                          False falls back to vmap(control_step)
     dtype: object = jnp.float32
 
 
@@ -220,8 +223,13 @@ def control_step(
     def body(carry, _):
         st, _ = carry
         st2, taus, sphf = substep(mc, cfg, grid, st, control, params, terrain_patch)
-        # net contact force per reported body
-        bf = jax.ops.segment_sum(sphf, mc.sph_body, num_segments=mc.n_bodies)
+        # net contact force per reported body; ceiling rows (appended past S
+        # by fastpath.detect_T on overhang worlds) accumulate onto the same
+        # leading base-link bodies
+        ids = np.asarray(mc.sph_body)
+        if sphf.shape[0] > ids.shape[0]:
+            ids = np.concatenate([ids, ids[: sphf.shape[0] - ids.shape[0]]])
+        bf = jax.ops.segment_sum(sphf, ids, num_segments=mc.n_bodies)
         return (st2, taus), bf
 
     zt = jnp.zeros(mc.nu, cfg.dtype)
@@ -274,6 +282,38 @@ def _integrate(mc: ModelConsts, cfg: EngineConfig, s: EnvState, u_new):
         qd = jnp.clip(qd, -mc.dof_velocity_limit, mc.dof_velocity_limit)
     return EnvState(base_pos, base_quat, dof_pos,
                     jnp.concatenate([u_new[:6], qd]))
+
+
+def step_batch(mc: ModelConsts, cfg: EngineConfig, grid, s: EnvState,
+               control: Control, params: EnvParams):
+    """The batched control-step entry point used by the env layer.
+    Dispatches to the env-minor SoA path (default; PERF_NOTES.md layout
+    rules), the fused-Pallas-LCP path, or plain vmap(control_step).
+
+    The AGILITY_ENGINE environment variable overrides the config choice:
+    "vmap" prefers the vmapped oracle path where it is capable (the CI
+    suite uses this — the SoA path's scalar-unrolled HLO compiles ~10x
+    slower on the XLA *CPU* backend, its target is the TPU compiler);
+    "soa" forces the SoA path.  Grids with a ceiling surface always take
+    the SoA path — overhang collision exists only there."""
+    import os
+
+    override = os.environ.get("AGILITY_ENGINE", "")
+    use_soa = cfg.soa and cfg.solver == "jacobi" and not cfg.pallas_contact
+    if override == "vmap":
+        use_soa = False
+    elif override == "soa":
+        use_soa = True
+    if grid.ceiling is not None and (cfg.pallas_contact or not cfg.fast
+                                     or not cfg.patch_size):
+        # overhang collision exists only in the SoA path and the patch-based
+        # vmap fast path (fastpath.detect_T ceiling rows)
+        use_soa = True
+    if use_soa:
+        from agility_tpu.physics import soa
+
+        return soa.control_step_batched(mc, cfg, grid, s, control, params)
+    return control_step_batched(mc, cfg, grid, s, control, params)
 
 
 def control_step_batched(mc: ModelConsts, cfg: EngineConfig, grid, s: EnvState,

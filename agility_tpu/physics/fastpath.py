@@ -151,6 +151,23 @@ def detect_T(mc: ModelConsts, ls: LinkState, axes_w, grid: hf.HeightGrid,
         n = hf.sample_normal(grid, centers[:, 0], centers[:, 1], hf_weights)
     phi = (centers[:, 2] - h) * n[:, 2] - mc.sph_radius
     JpT = _jacobian_T(mc, ls, axes_w, sl, centers)
+    if terrain_patch is not None and terrain_patch.ceil is not None:
+        # overhang rows (tunnel roof / tire top ring): the leading k base-link
+        # spheres (trunk + head; soa._Consts asserts they lead) are tested
+        # against the ceiling surface with downward outward normals.  The
+        # contact points coincide with the floor rows' points, so their
+        # Jacobian columns are reused verbatim.
+        import numpy as np
+
+        from agility_tpu.physics import patch as pt
+
+        k = int(np.sum(np.asarray(mc.sph_link) == 0))
+        ch, cn = pt.sample_ceiling_and_normal(
+            terrain_patch, centers[:k, 0], centers[:k, 1])
+        phi_c = (ch - centers[:k, 2]) * (-cn[:, 2]) - mc.sph_radius[:k]
+        phi = jnp.concatenate([phi, phi_c])
+        n = jnp.concatenate([n, cn], axis=0)
+        JpT = jnp.concatenate([JpT, JpT[:, : 3 * k]], axis=1)
     return phi, n, JpT
 
 

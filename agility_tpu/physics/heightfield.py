@@ -26,10 +26,25 @@ class HeightGrid(NamedTuple):
     # sample time; the per-env weights vector is threaded via
     # EnvParams.hf_weights, so curriculum height changes are pure array ops.
     layer_id: jnp.ndarray = None    # (H, W) int8 or None
+    # optional seesaw lever grid: signed plank-axis distance from the pivot
+    # [m] on seesaw plank cells, 0 elsewhere.  Effective floor height gains
+    # `lever * weights[-1]` where weights[-1] is the per-env plank tilt
+    # (small-angle tan(theta)); the 1-DOF passive plank of the reference
+    # (tsc legged_robot.py:1370-1427) becomes a per-env scalar state.
+    lever: jnp.ndarray = None       # (H, W) f32 or None
+    # optional ceiling surface: lowest overhead solid z (meters), NO_CEILING
+    # where open sky.  Gives the tunnel its roof and the tire its top ring
+    # (reference URDF collision meshes, obstacle.py:434-523); sampled by the
+    # contact engine (upper-body spheres) and the depth ray-caster.
+    ceiling: jnp.ndarray = None         # (H, W) f32 or None
+    ceiling_layer: jnp.ndarray = None   # (H, W) int8 or None (same weights)
 
     @property
     def shape(self):
         return self.height.shape
+
+
+NO_CEILING = 100.0   # sentinel ceiling height [m] for open-sky cells
 
 
 def flat_grid(size: float = 1.0, dtype=jnp.float32) -> HeightGrid:
@@ -41,12 +56,18 @@ def flat_grid(size: float = 1.0, dtype=jnp.float32) -> HeightGrid:
 
 
 def from_numpy(height_m: np.ndarray, hscale: float, origin_xy=(0.0, 0.0),
-               layer_id: np.ndarray = None) -> HeightGrid:
+               layer_id: np.ndarray = None, lever: np.ndarray = None,
+               ceiling: np.ndarray = None, ceiling_layer: np.ndarray = None
+               ) -> HeightGrid:
+    j = lambda x, dt: None if x is None else jnp.asarray(x, dt)
     return HeightGrid(
         height=jnp.asarray(height_m, jnp.float32),
         hscale=float(hscale),
         origin=jnp.asarray(origin_xy, jnp.float32),
-        layer_id=None if layer_id is None else jnp.asarray(layer_id, jnp.int8),
+        layer_id=j(layer_id, jnp.int8),
+        lever=j(lever, jnp.float32),
+        ceiling=j(ceiling, jnp.float32),
+        ceiling_layer=j(ceiling_layer, jnp.int8),
     )
 
 
@@ -60,12 +81,19 @@ def _grid_coords(g: HeightGrid, x, y):
 
 
 def _node(g: HeightGrid, xi, yi, weights):
-    """Effective height at integer nodes (gather + movable-layer offset)."""
+    """Effective height at integer nodes: gather + movable-layer offset +
+    seesaw plank tilt (lever * weights[-1])."""
     h = g.height[xi, yi]
-    if g.layer_id is None or weights is None:
+    if weights is None:
         return h
-    w = jnp.concatenate([jnp.zeros((1,), h.dtype), weights])
-    return h + w[g.layer_id[xi, yi].astype(jnp.int32)]
+    lw = weights
+    if g.lever is not None:
+        h = h + g.lever[xi, yi] * weights[-1]
+        lw = weights[:-1]
+    if g.layer_id is not None and lw.shape[-1] > 0:
+        w = jnp.concatenate([jnp.zeros((1,), h.dtype), lw])
+        h = h + w[g.layer_id[xi, yi].astype(jnp.int32)]
+    return h
 
 
 def sample_height(g: HeightGrid, x, y, weights=None):
@@ -85,6 +113,58 @@ def sample_height(g: HeightGrid, x, y, weights=None):
         + h01 * (1 - fx) * fy
         + h11 * fx * fy
     )
+
+
+def _cnode(g: HeightGrid, xi, yi, weights):
+    """Effective ceiling height at integer nodes (NO_CEILING = open sky)."""
+    h = g.ceiling[xi, yi]
+    if weights is None:
+        return h
+    lw = weights[:-1] if g.lever is not None else weights
+    if g.ceiling_layer is not None and lw.shape[-1] > 0:
+        w = jnp.concatenate([jnp.zeros((1,), h.dtype), lw])
+        h = h + w[g.ceiling_layer[xi, yi].astype(jnp.int32)]
+    return h
+
+
+def sample_ceiling(g: HeightGrid, x, y, weights=None):
+    """Bilinear ceiling height at world (x, y); requires g.ceiling."""
+    gx, gy = _grid_coords(g, x, y)
+    x0 = jnp.floor(gx).astype(jnp.int32)
+    y0 = jnp.floor(gy).astype(jnp.int32)
+    fx = gx - x0
+    fy = gy - y0
+    return (
+        _cnode(g, x0, y0, weights) * (1 - fx) * (1 - fy)
+        + _cnode(g, x0 + 1, y0, weights) * fx * (1 - fy)
+        + _cnode(g, x0, y0 + 1, weights) * (1 - fx) * fy
+        + _cnode(g, x0 + 1, y0 + 1, weights) * fx * fy
+    )
+
+
+def sample_lever(g: HeightGrid, x, y):
+    """Bilinear raw seesaw lever arm [m] at world (x, y); requires g.lever.
+    Used by the env to convert foot normal forces into plank torque
+    (reference passive seesaw DOF, tsc legged_robot.py:1414-1427)."""
+    gx, gy = _grid_coords(g, x, y)
+    x0 = jnp.floor(gx).astype(jnp.int32)
+    y0 = jnp.floor(gy).astype(jnp.int32)
+    fx = gx - x0
+    fy = gy - y0
+    lv = g.lever
+    return (lv[x0, y0] * (1 - fx) * (1 - fy) + lv[x0 + 1, y0] * fx * (1 - fy)
+            + lv[x0, y0 + 1] * (1 - fx) * fy + lv[x0 + 1, y0 + 1] * fx * fy)
+
+
+def on_lever(g: HeightGrid, x, y):
+    """True where the nearest node is a seesaw plank cell (lever != 0 on any
+    of the 4 surrounding nodes)."""
+    gx, gy = _grid_coords(g, x, y)
+    x0 = jnp.floor(gx).astype(jnp.int32)
+    y0 = jnp.floor(gy).astype(jnp.int32)
+    lv = g.lever
+    return ((lv[x0, y0] != 0) | (lv[x0 + 1, y0] != 0)
+            | (lv[x0, y0 + 1] != 0) | (lv[x0 + 1, y0 + 1] != 0))
 
 
 def sample_height_nearest(g: HeightGrid, x, y, weights=None):

@@ -25,17 +25,20 @@ from agility_tpu.physics.heightfield import HeightGrid
 
 
 class Patch(NamedTuple):
-    values: jnp.ndarray    # (P, P) heights (meters), layers folded in
+    values: jnp.ndarray    # (P, P) heights (meters), layers/lever folded in
     min3: jnp.ndarray      # (P, P) min(self, +x, +y) — scandot semantics
     x0: jnp.ndarray        # () grid x-index of patch node (0, 0)
     y0: jnp.ndarray        # ()
     hscale: float
     origin: jnp.ndarray    # (2,) world xy of grid node (0, 0)
+    ceil: jnp.ndarray = None   # (P, P) ceiling heights (layers folded) or None
 
 
 def extract(grid: HeightGrid, center_xy, size: int, weights=None) -> Patch:
     """Slice a size x size patch centered at world `center_xy` (single env;
-    vmap over envs).  Start indices clamp at the grid boundary."""
+    vmap over envs).  Start indices clamp at the grid boundary.  Movable
+    layer weights, the seesaw lever tilt (weights[-1]) and the ceiling
+    surface are folded into the patch at extraction time."""
     H, W = grid.height.shape
     size = min(size, H, W)   # degenerate grids (e.g. the flat 2x2 plane)
     gx = (center_xy[0] - grid.origin[0]) / grid.hscale
@@ -43,15 +46,27 @@ def extract(grid: HeightGrid, center_xy, size: int, weights=None) -> Patch:
     x0 = jnp.clip(jnp.round(gx).astype(jnp.int32) - size // 2, 0, max(H - size, 0))
     y0 = jnp.clip(jnp.round(gy).astype(jnp.int32) - size // 2, 0, max(W - size, 0))
     vals = jax.lax.dynamic_slice(grid.height, (x0, y0), (size, size))
-    if grid.layer_id is not None and weights is not None:
+    lw = weights
+    if grid.lever is not None and weights is not None:
+        lev = jax.lax.dynamic_slice(grid.lever, (x0, y0), (size, size))
+        vals = vals + lev * weights[-1]
+        lw = weights[:-1]
+    if grid.layer_id is not None and lw is not None and lw.shape[-1] > 0:
         lid = jax.lax.dynamic_slice(grid.layer_id, (x0, y0), (size, size))
-        w = jnp.concatenate([jnp.zeros((1,), vals.dtype), weights])
+        w = jnp.concatenate([jnp.zeros((1,), vals.dtype), lw])
         vals = vals + w[lid.astype(jnp.int32)]
+    ceil = None
+    if grid.ceiling is not None:
+        ceil = jax.lax.dynamic_slice(grid.ceiling, (x0, y0), (size, size))
+        if grid.ceiling_layer is not None and lw is not None and lw.shape[-1] > 0:
+            cl = jax.lax.dynamic_slice(grid.ceiling_layer, (x0, y0), (size, size))
+            w = jnp.concatenate([jnp.zeros((1,), ceil.dtype), lw])
+            ceil = ceil + w[cl.astype(jnp.int32)]
     # conservative scandot surface: min of node and its +x/+y neighbors
     m = jnp.minimum(vals, jnp.roll(vals, -1, axis=0).at[-1].set(vals[-1]))
     m = jnp.minimum(m, jnp.roll(vals, -1, axis=1).at[:, -1].set(vals[:, -1]))
     return Patch(values=vals, min3=m, x0=x0, y0=y0, hscale=grid.hscale,
-                 origin=grid.origin)
+                 origin=grid.origin, ceil=ceil)
 
 
 def _coords(p: Patch, x, y):
@@ -96,6 +111,23 @@ def sample_height_and_normal(p: Patch, x, y):
     dhdx = jnp.sum(drows * wy, -1) / p.hscale
     dhdy = jnp.sum(rows * dwy, -1) / p.hscale
     n = jnp.stack([-dhdx, -dhdy, jnp.ones_like(h)], -1)
+    return h, n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+
+
+def sample_ceiling_and_normal(p: Patch, x, y):
+    """(h (K,), n (K, 3)) on the ceiling surface (p.ceil) with the DOWNWARD
+    outward normal of a solid lying *above* z = c(x, y) — the negation of
+    the floor-style normal of the same surface (cf. soa.patch_sample_ceiling)."""
+    Psz = p.ceil.shape[0]
+    gx, gy = _coords(p, x, y)
+    wx, wy = _hat(gx, Psz), _hat(gy, Psz)
+    dwx, dwy = _dhat(gx, Psz), _dhat(gy, Psz)
+    rows = wx @ p.ceil                      # (K, P)
+    drows = dwx @ p.ceil
+    h = jnp.sum(rows * wy, -1)
+    dhdx = jnp.sum(drows * wy, -1) / p.hscale
+    dhdy = jnp.sum(rows * dwy, -1) / p.hscale
+    n = jnp.stack([dhdx, dhdy, -jnp.ones_like(h)], -1)
     return h, n / jnp.linalg.norm(n, axis=-1, keepdims=True)
 
 

@@ -67,15 +67,21 @@ def render_depth(cam: CameraModel, grid: hf.HeightGrid, base_pos, base_quat,
     ts = jnp.linspace(cam.near, cam.far, cam.n_steps)          # (S,)
     pts = origin[None, None, :] + dirs_w[:, None, :] * ts[None, :, None]  # (R, S, 3)
     h = hf.sample_height(grid, pts[..., 0], pts[..., 1], hf_weights)      # (R, S)
-    below = pts[..., 2] < h                                    # crossed surface
+    # signed clearance: below floor OR above a ceiling surface (tunnel roof,
+    # tire top ring) counts as inside solid — rays see overhangs
+    f = pts[..., 2] - h
+    if grid.ceiling is not None:
+        hc = hf.sample_ceiling(grid, pts[..., 0], pts[..., 1], hf_weights)
+        f = jnp.minimum(f, hc - pts[..., 2])
+    below = f < 0                                              # crossed surface
     # first crossing index (n_steps if none)
     idx = jnp.argmax(below, axis=-1)
     any_hit = jnp.any(below, axis=-1)
     i1 = jnp.clip(idx, 1, cam.n_steps - 1)
     i0 = i1 - 1
     # secant refinement between the straddling samples
-    f0 = jnp.take_along_axis(pts[..., 2] - h, i0[:, None], axis=1)[:, 0]
-    f1 = jnp.take_along_axis(pts[..., 2] - h, i1[:, None], axis=1)[:, 0]
+    f0 = jnp.take_along_axis(f, i0[:, None], axis=1)[:, 0]
+    f1 = jnp.take_along_axis(f, i1[:, None], axis=1)[:, 0]
     t0 = ts[i0]
     t1 = ts[i1]
     tau = t0 - f0 * (t1 - t0) / jnp.where(jnp.abs(f1 - f0) < 1e-9, 1e-9, f1 - f0)

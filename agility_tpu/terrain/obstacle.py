@@ -17,8 +17,15 @@ TPU-native deviations from the reference:
   IsaacGym, tsc/.../legged_robot.py:1370-1427) become heightfield *layers*:
   cells tagged bar/tire get a per-env height weight added at sample time,
   which also makes the height curriculum (:917-957) a pure array update.
-* The seesaw keeps the reference's own static triangle rasterization
-  (obstacle.py:376-432); plank tilt dynamics are out of scope this round.
+* The seesaw's 1-DOF passive plank (revolute DOF, stiffness 0, damping
+  U(1,10), tsc/.../legged_robot.py:1414-1427) is rasterized FLAT at pivot
+  height with a signed *lever* grid; effective height at sample time is
+  `pivot + lever * theta` where theta is a per-env plank angle integrated
+  by the env from foot contact torques (go2_agility.py).
+* Overhangs (the tunnel roof and the tire's top ring — URDF collision
+  meshes in the reference, loaded at tsc/.../legged_robot.py:1260-1289)
+  live in a second *ceiling* heightfield surface (lowest overhead solid z)
+  sampled by both the contact engine and the depth ray-caster.
 """
 from __future__ import annotations
 
@@ -29,6 +36,20 @@ import numpy as np
 
 OBST_TYPES = ("bar_jump", "frame", "poles", "seesaw", "tire_jump", "tunnel")
 LAYER_NONE, LAYER_BAR, LAYER_TIRE = 0, 1, 2
+
+NO_CEILING = 100.0   # open-sky sentinel (must match heightfield.NO_CEILING)
+
+# 1-DOF seesaw plank (reference: revolute DOF with PD + passive tilt,
+# tsc legged_robot.py:1370-1427).  The plank is rasterized FLAT at the pivot
+# height with a signed lever grid; the per-env tilt angle multiplies the
+# lever at sample time (h = pivot + lever * theta), so plank dynamics are a
+# per-env scalar integrated by the env.
+SEESAW_PIVOT_H = 0.26
+SEESAW_HALF_LEN = 1.5
+SEESAW_WIDTH = 0.6
+SEESAW_THETA_MAX = SEESAW_PIVOT_H / SEESAW_HALF_LEN   # end touches ground
+SEESAW_THETA_REST = SEESAW_THETA_MAX                  # approach (-x) end down
+SEESAW_INERTIA = 9.0   # plank about pivot [kg m^2] (~12 kg x 3 m board)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,6 +85,10 @@ class ObstacleCfg:
     frame_ang_deg: tuple = (90, 90, -90, -90, 90, 90)
     measured_points_x: tuple = (0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0, 1.1)
     measured_points_y: tuple = (-0.5, -0.4, -0.3, -0.2, -0.1, 0.0, 0.1, 0.2, 0.3, 0.4, 0.5)
+    # static per-env scandot grid perturbation: each point offset by the sum
+    # of two U(-v, v) draws at build time (reference _init_height_points,
+    # tsc legged_robot.py:1674-1699; reference default 0.0)
+    measure_horizontal_noise: float = 0.0
     courses: int = 64      # unique course layouts (ours; reference: per-env)
 
 
@@ -71,6 +96,9 @@ class CourseWorld(NamedTuple):
     height: np.ndarray       # (H, W) f32 meters (canonical: movable parts at 0)
     layer_id: np.ndarray     # (H, W) int8: 0 none / 1 bar / 2 tire
     x_edge: np.ndarray       # (H, W) bool
+    ceil: np.ndarray         # (H, W) f32 lowest overhead solid z (NO_CEILING = sky)
+    ceil_layer: np.ndarray   # (H, W) int8 (ceiling z += weight[layer])
+    lever: np.ndarray        # (H, W) f32 signed seesaw lever arm [m] (0 = rigid)
     hscale: float
     origin: tuple            # world xy of node (0, 0)
     course_origins: np.ndarray   # (courses, 3) world cell origin
@@ -95,6 +123,9 @@ class _Cell:
         self.h = np.zeros((n_x, n_y), np.float32)
         self.layer = np.zeros((n_x, n_y), np.int8)
         self.edge = np.zeros((n_x, n_y), bool)
+        self.ceil = np.full((n_x, n_y), NO_CEILING, np.float32)
+        self.ceil_layer = np.zeros((n_x, n_y), np.int8)
+        self.lever = np.zeros((n_x, n_y), np.float32)
 
     def px(self, v):
         return int(round(v / self.cfg.horizontal_scale))
@@ -116,13 +147,15 @@ def _paint(a, x0, y0, block):
     a[dx0:dx1, dy0:dy1] = block[sx0 : sx0 + (dx1 - dx0), sy0 : sy0 + (dy1 - dy0)]
 
 
-def _rot_into(dst_h, dst_layer, dst_edge, src: _Cell, center_px, yaw):
+def _rot_into(dst: _Cell, src: _Cell, center_px, yaw):
     """Stamp src raster into dst, rotated by yaw about center_px: for every
     dst pixel near the obstacle, inverse-rotate to source coords and copy
     where the source is non-empty (the reference's polygon-fill inverse
     mapping, obstacle.py:137-179, generalized to the full stencil)."""
-    H, W = dst_h.shape
-    xs, ys = np.nonzero((src.h != 0) | (src.layer != 0) | src.edge)
+    H, W = dst.h.shape
+    src_occ = ((src.h != 0) | (src.layer != 0) | src.edge
+               | (src.ceil != NO_CEILING) | (src.lever != 0))
+    xs, ys = np.nonzero(src_occ)
     if len(xs) == 0:
         return
     # bounding box of the source stencil, dilated by rotation
@@ -141,10 +174,16 @@ def _rot_into(dst_h, dst_layer, dst_edge, src: _Cell, center_px, yaw):
     hv = np.where(valid, src.h[sxc, syc], 0.0)
     lv = np.where(valid, src.layer[sxc, syc], 0)
     ev = np.where(valid, src.edge[sxc, syc], False)
-    occ = (hv != 0) | (lv != 0) | ev
-    dst_h[gx, gy] = np.where(occ, hv, dst_h[gx, gy])
-    dst_layer[gx, gy] = np.where(occ, lv, dst_layer[gx, gy])
-    dst_edge[gx, gy] = np.where(occ, ev, dst_edge[gx, gy])
+    cv = np.where(valid, src.ceil[sxc, syc], NO_CEILING)
+    clv = np.where(valid, src.ceil_layer[sxc, syc], 0)
+    lvv = np.where(valid, src.lever[sxc, syc], 0.0)
+    occ = (hv != 0) | (lv != 0) | ev | (cv != NO_CEILING) | (lvv != 0)
+    dst.h[gx, gy] = np.where(occ, hv, dst.h[gx, gy])
+    dst.layer[gx, gy] = np.where(occ, lv, dst.layer[gx, gy])
+    dst.edge[gx, gy] = np.where(occ, ev, dst.edge[gx, gy])
+    dst.ceil[gx, gy] = np.where(occ, cv, dst.ceil[gx, gy])
+    dst.ceil_layer[gx, gy] = np.where(occ, clv, dst.ceil_layer[gx, gy])
+    dst.lever[gx, gy] = np.where(occ, lvv, dst.lever[gx, gy])
 
 
 # ---------------------------------------------------------------------------
@@ -206,8 +245,27 @@ def _poles(cell: _Cell, pos):
 
 
 def _seesaw(cell: _Cell, pos):
-    g, gl = _a_frame(cell, pos, height=0.26, length=1.5)
-    return g, gl
+    """1-DOF plank: rasterized FLAT at pivot height with a signed lever grid
+    so effective height = pivot + lever * theta(t); theta is per-env plank
+    state integrated by the env (reference: passive revolute DOF,
+    tsc legged_robot.py:1414-1427; static heightfield view obstacle.py:376-432).
+    Goals match the reference seesaw (goal_x_step 0.7, z bias 0.3)."""
+    px, py = cell.px(pos[0]), cell.px(pos[1])
+    L, Wd = cell.px(SEESAW_HALF_LEN), cell.px(SEESAW_WIDTH)
+    xs = np.arange(px - L, px + L + 1)
+    lever = (xs - px) * cell.cfg.horizontal_scale          # signed arm [m]
+    _paint(cell.h, px - L, py - Wd // 2,
+           np.full((len(xs), Wd + 1), SEESAW_PIVOT_H, np.float32))
+    _paint(cell.lever, px - L, py - Wd // 2,
+           np.broadcast_to(lever[:, None], (len(xs), Wd + 1)).copy())
+    _rect(cell.edge, px - L, py - Wd // 2, 2 * L + 1, 2, True)
+    _rect(cell.edge, px - L, py + Wd // 2 - 1, 2 * L + 1, 2, True)
+    g = np.zeros((4, 3))
+    g[0] = [pos[0] - SEESAW_HALF_LEN - 0.7, pos[1], 0.3]
+    g[1] = [pos[0] - SEESAW_HALF_LEN, pos[1], 0.3]
+    g[2] = [pos[0], pos[1], SEESAW_PIVOT_H + 0.3]
+    g[3] = [pos[0] + SEESAW_HALF_LEN, pos[1], 0.3]
+    return g, np.zeros(4, np.int8)
 
 
 def _tire_jump(cell: _Cell, pos):
@@ -225,8 +283,18 @@ def _tire_jump(cell: _Cell, pos):
     _paint(cell.h, px - l1 // 2, py - r,
            np.broadcast_to(circ[None, :], (l1 + 1, len(ys))).copy())
     _rect(cell.layer, px - l1 // 2, py - r, l1 + 1, 2 * r + 1, LAYER_TIRE)
+    # top ring: overhead half of the tire aperture (URDF collision mesh in
+    # the reference) as a ceiling surface following the joint height
+    _paint(cell.ceil, px - l1 // 2, py - r,
+           np.broadcast_to(-circ[None, :], (l1 + 1, len(ys))).copy())
+    _rect(cell.ceil_layer, px - l1 // 2, py - r, l1 + 1, 2 * r + 1, LAYER_TIRE)
     _rect(cell.h, px - l2 // 2, py - w // 2, l2, w // 2 - r, 1.5)
     _rect(cell.h, px - l2 // 2, py + r, l2, w // 2 - r, 1.5)
+    # solid side frames have no overhead aperture — drop any ring-edge
+    # ceiling cells their footprint overlaps
+    wall = cell.h >= 1.5 - 1e-6
+    cell.ceil[wall] = NO_CEILING
+    cell.ceil_layer[wall] = 0
     box = (slice(px - l2 // 2, px + l2 // 2 + 1), slice(py - w // 2, py + w // 2 + 1))
     cell.edge[box] |= (cell.h[box] != 0) | (cell.layer[box] != 0)
     g = np.zeros((4, 3))
@@ -244,8 +312,14 @@ def _tunnel(cell: _Cell, pos):
     L = cell.px(2.0)
     ys = np.arange(py - r, py + r + 1)
     n = len(ys) - 1
-    circ = (-np.sqrt(np.maximum((n / 2) ** 2 - (ys - py) ** 2, 0.0)) + n / 2) * cfg.horizontal_scale
+    half = np.sqrt(np.maximum((n / 2) ** 2 - (ys - py) ** 2, 0.0)) * cfg.horizontal_scale
+    radius_m = (n / 2) * cfg.horizontal_scale
+    circ = radius_m - half          # tube floor: r - sqrt(r^2 - dy^2)
     _paint(cell.h, px, py - r, np.broadcast_to(circ[None, :], (L + 1, len(ys))).copy())
+    # tube roof: r + sqrt(r^2 - dy^2) — the overhang the robot must crouch
+    # under (URDF tube mesh in the reference, obstacle.py:482-523)
+    _paint(cell.ceil, px, py - r,
+           np.broadcast_to((radius_m + half)[None, :], (L + 1, len(ys))).copy())
     g = np.zeros((4, 3))
     g[0] = [pos[0] - 1.0, pos[1], 0.3]
     g[1] = [pos[0] - 0.5, pos[1], 0.3]
@@ -274,6 +348,9 @@ def generate(cfg: ObstacleCfg, seed: int = 0) -> CourseWorld:
     height = np.zeros((H, W), np.float32)
     layer_id = np.zeros((H, W), np.int8)
     x_edge = np.zeros((H, W), bool)
+    ceil_g = np.full((H, W), NO_CEILING, np.float32)
+    ceil_layer_g = np.zeros((H, W), np.int8)
+    lever_g = np.zeros((H, W), np.float32)
     n_goals_total = cfg.num_obst_per_env * cfg.num_goals + cfg.last_goal_repeat
     goals = np.zeros((cfg.courses, n_goals_total, 3))
     goal_layer = np.zeros((cfg.courses, n_goals_total), np.int8)
@@ -289,9 +366,7 @@ def generate(cfg: ObstacleCfg, seed: int = 0) -> CourseWorld:
         row, col = divmod(ci, cols)
         ox = row * n_x + border
         oy = col * n_y + border
-        cell_h = np.zeros((n_x, n_y), np.float32)
-        cell_l = np.zeros((n_x, n_y), np.int8)
-        cell_e = np.zeros((n_x, n_y), bool)
+        cell = _Cell(cfg)
 
         order = rng.permutation(6)
         for j in range(6):
@@ -305,8 +380,7 @@ def generate(cfg: ObstacleCfg, seed: int = 0) -> CourseWorld:
 
             sub = _Cell(cfg)
             g, gl = _RASTER[name](sub, pos)
-            _rot_into(cell_h, cell_l, cell_e, sub,
-                      (sub.px(pos[0]), sub.px(pos[1])), yaw)
+            _rot_into(cell, sub, (sub.px(pos[0]), sub.px(pos[1])), yaw)
             # rotate goals about the obstacle anchor
             c, s = np.cos(yaw), np.sin(yaw)
             R = np.array([[c, -s], [s, c]])
@@ -323,14 +397,18 @@ def generate(cfg: ObstacleCfg, seed: int = 0) -> CourseWorld:
         # border walls (obstacle.py:222-233): 0.1 m thick, around the cell
         t = int(0.1 / cfg.horizontal_scale)
         bh = cfg.border_height
-        cell_h[:t, :] = bh
-        cell_h[-t:, :] = bh
-        cell_h[:, :t] = bh
-        cell_h[:, -t:] = bh
+        cell.h[:t, :] = bh
+        cell.h[-t:, :] = bh
+        cell.h[:, :t] = bh
+        cell.h[:, -t:] = bh
 
-        height[ox : ox + n_x, oy : oy + n_y] = cell_h
-        layer_id[ox : ox + n_x, oy : oy + n_y] = cell_l
-        x_edge[ox : ox + n_x, oy : oy + n_y] = cell_e
+        box = (slice(ox, ox + n_x), slice(oy, oy + n_y))
+        height[box] = cell.h
+        layer_id[box] = cell.layer
+        x_edge[box] = cell.edge
+        ceil_g[box] = cell.ceil
+        ceil_layer_g[box] = cell.ceil_layer
+        lever_g[box] = cell.lever
         course_origins[ci] = [ox * cfg.horizontal_scale - cfg.border_size,
                               oy * cfg.horizontal_scale - cfg.border_size, 0.0]
         # repeat final goal
@@ -344,6 +422,7 @@ def generate(cfg: ObstacleCfg, seed: int = 0) -> CourseWorld:
 
     return CourseWorld(
         height=height, layer_id=layer_id, x_edge=x_edge,
+        ceil=ceil_g, ceil_layer=ceil_layer_g, lever=lever_g,
         hscale=cfg.horizontal_scale,
         origin=(-cfg.border_size, -cfg.border_size),
         course_origins=course_origins, goals=goals, goal_layer=goal_layer,

@@ -74,8 +74,8 @@ def main():
     alg = SSInfoGAIL(env, algo_cfg, seed=0)
     _beat("alg built (expert transitions preloaded)")
 
-    ts = alg.init_train_state(jax.random.PRNGKey(0))
-    es = env.init_state(jax.random.PRNGKey(1))
+    ts = jax.jit(alg.init_train_state)(jax.random.PRNGKey(0))
+    es = jax.jit(env.init_state)(jax.random.PRNGKey(1))
     dh = jnp.repeat(es.disc_obs[:, None], cfg.env.disc_obs_len, axis=1)
     jax.block_until_ready(es.sim.base_pos)
     _beat("states initialized; compiling train_iteration")

@@ -9,6 +9,13 @@ force the platform back to CPU and request 8 virtual host devices.
 """
 import os
 
+# Prefer the vmapped engine path in tests: the SoA path's scalar-unrolled
+# HLO targets the TPU compiler and compiles ~10x slower on XLA-CPU, which
+# multiplies across the suite's jit variants.  Parity between the paths is
+# asserted explicitly in tests/test_soa.py; ceiling (overhang) worlds still
+# take the SoA path regardless (physics/engine.py:step_batch).
+os.environ.setdefault("AGILITY_ENGINE", "vmap")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -19,6 +26,10 @@ jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running CPU learning test")
 
 
 @pytest.fixture

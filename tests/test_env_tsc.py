@@ -76,6 +76,38 @@ def test_goal_progression(env):
     assert int(jnp.max(state.cur_goal_idx)) >= 1
 
 
+def test_seesaw_tilts_under_robot(env):
+    """Drop the robot on the far (+x local) half of its seesaw plank: the
+    passive 1-DOF plank (reference tsc legged_robot.py:1414-1427) must tilt
+    away from rest under the contact torque."""
+    state = env.init_state(jax.random.PRNGKey(2))
+    types = np.asarray(env.obst_types)                      # (N, 6)
+    station = np.argmax(types == obst_gen.OBST_TYPES.index("seesaw"), axis=1)
+    pivot_goal = station * env.num_goals + 2
+    goals = np.asarray(env.env_goals)                       # (N, G, 3)
+    pivot = goals[np.arange(4), pivot_goal]                 # (N, 3) plank center
+    yaws = np.asarray(env.world.obst_yaws)[env.course_id[:4]]
+    yaw = yaws[np.arange(4), station]
+    arm = 0.5
+    x = pivot[:, 0] + arm * np.cos(yaw)
+    y = pivot[:, 1] + arm * np.sin(yaw)
+    z = np.full(4, obst_gen.SEESAW_PIVOT_H + arm * obst_gen.SEESAW_THETA_REST + 0.35)
+    sim = state.sim._replace(
+        base_pos=jnp.asarray(np.stack([x, y, z], -1), jnp.float32),
+        u=state.sim.u * 0)
+    state = state._replace(
+        sim=sim,
+        cur_goal_idx=jnp.asarray(pivot_goal, jnp.int32),
+        cur_goals=jnp.asarray(pivot, jnp.float32))
+    step = jax.jit(env.step)
+    for _ in range(40):
+        state, out = step(state, jnp.zeros((4, 12)))
+    th = np.asarray(state.seesaw_theta)
+    assert np.isfinite(th).all()
+    # plank left its rest angle on every env (robot weight beyond the pivot)
+    assert (th < obst_gen.SEESAW_THETA_REST - 0.05).all()
+
+
 def test_tsc_training_smoke(tmp_path):
     env = Go2AgilityEnv(tsc_smoke_cfg(num_envs=4, courses=2))
     bbc = load_bbc_frozen(None)
