@@ -368,9 +368,9 @@ class Go2LocomotionEnv:
         time_out = jnp.logical_or(time_out, sim.base_pos[:, 2] < -6.0)
         reset_buf = jnp.logical_or(reset_buf, time_out)
 
-        # --- measured heights (pre-reset, used by rewards) ---
-        measured = self._measure_heights(sim.base_pos, bq, terrain_patch)
-        root_h = sim.base_pos[:, 2] - measured[:, self.center_height_idx]
+        # --- root height over terrain (pre-reset, used by rewards): only
+        # the center scandot is ever consumed by the BBC ---
+        root_h = self._center_root_height(sim.base_pos, bq)
 
         # --- rewards (:242-259 + term library :1231-1374) ---
         new_state_partial = dict(
@@ -430,17 +430,20 @@ class Go2LocomotionEnv:
     # pieces
     # ==================================================================
 
-    def _measure_heights(self, base_pos, base_quat, terrain_patch=None):
+    def _center_root_height(self, base_pos, base_quat):
+        """Root height over the terrain at the center measurement point —
+        the ONLY scandot the BBC consumes (root_h obs + jump/loco-height
+        rewards, legged_robot.py:264,1312-1335).  Measuring just this point
+        instead of the full 17x11 grid saves ~5.7 ms/step at 4096 envs
+        (tools/bench_env_ablate.py); identical values by construction."""
         if not self.cfg.terrain.measure_heights:
-            return jnp.zeros((base_pos.shape[0], self.n_height_points))
-        pts = qm.quat_apply_yaw(base_quat[:, None, :], self.height_points[None]) + base_pos[:, None, :]
-        if terrain_patch is not None:
-            from agility_tpu.physics import patch as pt
-
-            return jax.vmap(
-                lambda p, xy: pt.sample_height_min3(p, xy[:, 0], xy[:, 1])
-            )(terrain_patch, pts)
-        return hf.sample_height_min3(self.grid, pts[..., 0], pts[..., 1])
+            return base_pos[:, 2]
+        pt = qm.quat_apply_yaw(
+            base_quat, jnp.broadcast_to(
+                self.height_points[self.center_height_idx],
+                (base_pos.shape[0], 3))) + base_pos
+        return base_pos[:, 2] - hf.sample_height_min3(
+            self.grid, pt[:, 0], pt[:, 1])
 
     def _resample_where(self, state: LocoState, mask, key):
         """Draw new eps / c / commands for all envs, select by mask."""
@@ -563,19 +566,9 @@ class Go2LocomotionEnv:
         roll, pitch, _ = qm.euler_from_quat(bq)
         imu = jnp.stack([roll, pitch], -1)
 
-        # fresh patches (reset envs may have teleported outside the step's)
-        terrain_patch = None
-        if self.engine_cfg.fast and self.engine_cfg.patch_size and cfg.terrain.measure_heights:
-            from agility_tpu.physics import patch as pt
-
-            terrain_patch = jax.vmap(
-                lambda bp: pt.extract(self.grid, bp[:2], self.engine_cfg.patch_size)
-            )(sim.base_pos)
-        measured = self._measure_heights(sim.base_pos, bq, terrain_patch)
-        if cfg.terrain.measure_heights:
-            root_h = (sim.base_pos[:, 2] - measured[:, self.center_height_idx])[:, None]
-        else:
-            root_h = sim.base_pos[:, 2:3]
+        # root height over terrain at the (possibly post-reset) base pose;
+        # single-point sample — the full scandot grid is never consumed
+        root_h = self._center_root_height(sim.base_pos, bq)[:, None]
 
         dof_err = (sim.dof_pos - self.mc.default_dof_pos) * osc.dof_pos
         dof_vel = sim.u[:, 6:] * osc.dof_vel

@@ -47,6 +47,10 @@ class AlgoCfg:
     gamma: float = 0.99
     lam: float = 0.95
     desired_kl: float = 0.01
+    lr_schedule: str = "adaptive"   # "adaptive" (KL-tracking LR, gail.py:367-379)
+    #                                 | "fixed" (constant lr_ac; reference
+    #                                 schedule option — adaptive KL collapses
+    #                                 the LR on small noisy batches)
     max_grad_norm: float = 1.0
     use_clipped_value_loss: bool = True
     us_coef: float = 1.0
@@ -435,10 +439,11 @@ class SSInfoGAIL:
                 + (jnp.square(mbt.std) + jnp.square(mbt.mean - aux["mean"]))
                 / (2.0 * jnp.square(aux["std"])) - 0.5, axis=-1)
             kl_mean = jnp.mean(kl)
-            lr = jnp.where(kl_mean > cfg.desired_kl * 2.0,
-                           jnp.maximum(1e-5, lr / 1.5), lr)
-            lr = jnp.where((kl_mean < cfg.desired_kl / 2.0) & (kl_mean > 0.0),
-                           jnp.minimum(1e-2, lr * 1.5), lr)
+            if cfg.lr_schedule == "adaptive":   # static branch under jit
+                lr = jnp.where(kl_mean > cfg.desired_kl * 2.0,
+                               jnp.maximum(1e-5, lr / 1.5), lr)
+                lr = jnp.where((kl_mean < cfg.desired_kl / 2.0) & (kl_mean > 0.0),
+                               jnp.minimum(1e-2, lr * 1.5), lr)
             inj = ac_opt[1]._replace(
                 hyperparams={**ac_opt[1].hyperparams, "learning_rate": lr})
             ac_opt = (ac_opt[0], inj)

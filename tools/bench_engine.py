@@ -56,7 +56,9 @@ def main():
     )
 
     for name in paths:
-        cfg = eng.EngineConfig(soa=(name == "soa"))
+        cfg = eng.EngineConfig(
+            soa=(name == "soa"),
+            jacobi_iters=int(os.environ.get("BENCH_LCP_ITERS", "10")))
 
         def roll(s0):
             def body(st, _):
