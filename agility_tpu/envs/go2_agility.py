@@ -594,10 +594,8 @@ class Go2AgilityEnv:
 
             # TSC scandots reach ~1.3 m from the base at 0.05 m scale
             size = max(self.engine_cfg.patch_size, 56)
-            return jax.vmap(
-                lambda bp, wi, xy: pt.sample_height_min3(
-                    pt.extract(self.grid, bp[:2], size, wi), xy[:, 0], xy[:, 1])
-            )(base_pos, w, pts)
+            p = pt.extract_batch(self.grid, base_pos[:, :2], size, w)
+            return pt.sample_height_min3_batch(p, pts[..., 0], pts[..., 1])
         return jax.vmap(
             lambda p, wi: hf.sample_height_min3(self.grid, p[:, 0], p[:, 1], wi)
         )(pts, w)

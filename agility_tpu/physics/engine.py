@@ -332,11 +332,8 @@ def control_step_batched(mc: ModelConsts, cfg: EngineConfig, grid, s: EnvState,
 
     terrain_patch = None
     if cfg.fast and cfg.patch_size:
-        terrain_patch = jax.vmap(
-            lambda bp, w: pt.extract(grid, bp[:2], cfg.patch_size, w)
-        )(s.base_pos, params.hf_weights) if params.hf_weights is not None else jax.vmap(
-            lambda bp: pt.extract(grid, bp[:2], cfg.patch_size)
-        )(s.base_pos)
+        terrain_patch = pt.extract_batch(
+            grid, s.base_pos[:, :2], cfg.patch_size, params.hf_weights)
 
     def body(carry, _):
         st, _ = carry

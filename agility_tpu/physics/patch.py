@@ -69,6 +69,84 @@ def extract(grid: HeightGrid, center_xy, size: int, weights=None) -> Patch:
                  origin=grid.origin, ceil=ceil)
 
 
+def extract_batch(grid: HeightGrid, centers_xy, size: int, weights=None) -> Patch:
+    """Batched patch extraction for N envs at once: one row-gather plus one
+    exact one-hot MXU contraction per surface stack.
+
+    Replaces `jax.vmap(extract)`: XLA lowers a vmapped `dynamic_slice` with
+    per-env starts to a *serial while loop over envs* — measured 6.7 ms for
+    4096 (24, 24) windows on v5e vs 2.1 ms for this formulation (the loop
+    was ~70% of the whole physics step, tools/ trace 2026-08).  The one-hot
+    column selector is exact 0/1 in bf16 and the contraction runs at
+    HIGHEST precision, so selected values are exact f32 — parity with
+    `extract` is asserted in tests/test_patch.py.
+
+    centers_xy: (N, 2); weights: (N, L) per-env movable-layer weights or
+    None.  Returns a Patch whose leaves carry a leading env axis.
+    """
+    H, W = grid.height.shape
+    size = min(size, H, W)
+    gx = (centers_xy[:, 0] - grid.origin[0]) / grid.hscale
+    gy = (centers_xy[:, 1] - grid.origin[1]) / grid.hscale
+    x0 = jnp.clip(jnp.round(gx).astype(jnp.int32) - size // 2, 0, max(H - size, 0))
+    y0 = jnp.clip(jnp.round(gy).astype(jnp.int32) - size // 2, 0, max(W - size, 0))
+
+    surfaces = [grid.height]
+    have_lever = grid.lever is not None
+    have_lid = grid.layer_id is not None
+    have_ceil = grid.ceiling is not None
+    have_cl = have_ceil and grid.ceiling_layer is not None
+    if have_lever:
+        surfaces.append(grid.lever)
+    if have_lid:
+        surfaces.append(grid.layer_id.astype(jnp.float32))
+    if have_ceil:
+        surfaces.append(grid.ceiling)
+    if have_cl:
+        surfaces.append(grid.ceiling_layer.astype(jnp.float32))
+    Gs = jnp.stack(surfaces, axis=-1)                      # (H, W, K)
+
+    ix = x0[:, None] + jnp.arange(size)                    # (N, P)
+    rows = Gs[ix]                                          # (N, P, W, K)
+    iy = y0[:, None, None] + jnp.arange(size)[None, None, :]
+    oh = (jnp.arange(W)[None, :, None] == iy).astype(jnp.bfloat16)  # (N, W, P)
+    out = jnp.einsum("npwk,nwq->npqk", rows, oh,
+                     precision=jax.lax.Precision.HIGHEST)  # (N, P, P, K)
+
+    k = 0
+    vals = out[..., 0]
+    k += 1
+    lw = weights
+    if have_lever:
+        lev = out[..., k]
+        k += 1
+        if weights is not None:
+            vals = vals + lev * weights[:, -1, None, None]
+            lw = weights[:, :-1]
+    if have_lid:
+        lid = out[..., k]
+        k += 1
+        if lw is not None and lw.shape[-1] > 0:
+            # small-L one-hot fold (layer 0 = static ground)
+            for l in range(lw.shape[-1]):
+                vals = vals + jnp.where(
+                    jnp.round(lid) == l + 1, lw[:, l, None, None], 0.0)
+    ceil = None
+    if have_ceil:
+        ceil = out[..., k]
+        k += 1
+        if have_cl and lw is not None and lw.shape[-1] > 0:
+            cl = out[..., k]
+            for l in range(lw.shape[-1]):
+                ceil = ceil + jnp.where(
+                    jnp.round(cl) == l + 1, lw[:, l, None, None], 0.0)
+
+    m = jnp.minimum(vals, jnp.roll(vals, -1, axis=1).at[:, -1].set(vals[:, -1]))
+    m = jnp.minimum(m, jnp.roll(vals, -1, axis=2).at[:, :, -1].set(vals[:, :, -1]))
+    return Patch(values=vals, min3=m, x0=x0, y0=y0, hscale=grid.hscale,
+                 origin=grid.origin, ceil=ceil)
+
+
 def _coords(p: Patch, x, y):
     P = p.values.shape[0]
     gx = (x - p.origin[0]) / p.hscale - p.x0
@@ -142,3 +220,19 @@ def sample_height_min3(p: Patch, x, y):
     ox = (jnp.abs(fx[:, None] - idx) < 0.5).astype(p.values.dtype)
     oy = (jnp.abs(fy[:, None] - idx) < 0.5).astype(p.values.dtype)
     return jnp.einsum("ka,ab,kb->k", ox, p.min3, oy)
+
+
+def sample_height_min3_batch(p: Patch, x, y):
+    """Batched `sample_height_min3` over a Patch from `extract_batch`
+    (leading env axis on values/min3/x0/y0).  x, y: (N, K) world coords."""
+    Psz = p.values.shape[-1]
+    gx = (x - p.origin[0]) / p.hscale - p.x0[:, None].astype(x.dtype)
+    gy = (y - p.origin[1]) / p.hscale - p.y0[:, None].astype(x.dtype)
+    gx = jnp.clip(gx, 0.0, Psz - 1.001)
+    gy = jnp.clip(gy, 0.0, Psz - 1.001)
+    fx = jnp.floor(gx)
+    fy = jnp.floor(gy)
+    idx = jax.lax.broadcasted_iota(jnp.float32, (1, 1, Psz), 2)
+    ox = (jnp.abs(fx[:, :, None] - idx) < 0.5).astype(p.min3.dtype)
+    oy = (jnp.abs(fy[:, :, None] - idx) < 0.5).astype(p.min3.dtype)
+    return jnp.einsum("nka,nab,nkb->nk", ox, p.min3, oy)

@@ -818,14 +818,8 @@ def control_step_batched(mc: ModelConsts, cfg, grid: hf.HeightGrid, s,
     terrain_patch = None
     ceil_sampler = None
     if cfg.patch_size:
-        if params.hf_weights is not None:
-            terrain_patch = jax.vmap(
-                lambda bpos, w: pt.extract(grid, bpos[:2], cfg.patch_size, w)
-            )(s.base_pos, params.hf_weights)
-        else:
-            terrain_patch = jax.vmap(
-                lambda bpos: pt.extract(grid, bpos[:2], cfg.patch_size)
-            )(s.base_pos)
+        terrain_patch = pt.extract_batch(
+            grid, s.base_pos[:, :2], cfg.patch_size, params.hf_weights)
         vals_T = jnp.transpose(terrain_patch.values, (1, 2, 0))   # (P, P, N)
         sampler = lambda x, y: patch_sample_hn(
             vals_T, terrain_patch.x0, terrain_patch.y0, grid.origin,

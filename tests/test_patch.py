@@ -72,3 +72,52 @@ def test_patch_clamps_at_border(rng):
     np.testing.assert_allclose(
         np.asarray(pt.sample_height(p, x, y)),
         np.asarray(hf.sample_height(grid, x, y)), atol=1e-5)
+
+
+def test_extract_batch_matches_vmapped_extract(rng):
+    """extract_batch (row-gather + exact one-hot MXU contraction) must be
+    numerically identical to vmap(extract) — including movable layers,
+    seesaw lever folding, and the ceiling surface."""
+    N = 16
+    h = rng.normal(size=(64, 64)).astype(np.float32) * 0.1
+    lid = np.zeros((64, 64), np.int8)
+    lid[20:30, 20:30] = 1
+    lid[40:50, 10:20] = 2
+    lever = np.zeros((64, 64), np.float32)
+    lever[10:16, 40:50] = np.linspace(-1, 1, 6)[:, None]
+    ceil = np.full((64, 64), 100.0, np.float32)
+    ceil[25:35, 25:35] = 0.5
+    cl = np.zeros((64, 64), np.int8)
+    cl[30:35, 25:35] = 2
+    grid = hf.from_numpy(h, 0.1, origin_xy=(-3.2, -3.2), layer_id=lid,
+                         lever=lever, ceiling=ceil, ceiling_layer=cl)
+    centers = jnp.asarray(rng.uniform(-3.0, 3.0, (N, 2)).astype(np.float32))
+    w = jnp.asarray(rng.uniform(-0.3, 0.3, (N, 3)).astype(np.float32))
+
+    ref = jax.vmap(lambda c, wi: pt.extract(grid, c, 24, wi))(centers, w)
+    got = pt.extract_batch(grid, centers, 24, w)
+    np.testing.assert_array_equal(np.asarray(got.x0), np.asarray(ref.x0))
+    np.testing.assert_array_equal(np.asarray(got.y0), np.asarray(ref.y0))
+    np.testing.assert_allclose(np.asarray(got.values), np.asarray(ref.values),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.min3), np.asarray(ref.min3),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.ceil), np.asarray(ref.ceil),
+                               atol=1e-6)
+
+    # plain grid (no layers), no weights
+    grid2 = make_grid(rng)
+    ref2 = jax.vmap(lambda c: pt.extract(grid2, c, 24))(centers)
+    got2 = pt.extract_batch(grid2, centers, 24)
+    np.testing.assert_allclose(np.asarray(got2.values), np.asarray(ref2.values),
+                               atol=1e-6)
+
+    # batched min3 sampler parity
+    x = jnp.asarray(rng.uniform(-3.0, 3.0, (N, 7)).astype(np.float32))
+    y = jnp.asarray(rng.uniform(-3.0, 3.0, (N, 7)).astype(np.float32))
+    want = jax.vmap(lambda p_, xi, yi: pt.sample_height_min3(p_, xi, yi),
+                    in_axes=(pt.Patch(values=0, min3=0, x0=0, y0=0,
+                                      hscale=0, origin=0, ceil=0), 0, 0)
+                    )(ref, x, y)
+    have = pt.sample_height_min3_batch(got, x, y)
+    np.testing.assert_allclose(np.asarray(have), np.asarray(want), atol=1e-5)
