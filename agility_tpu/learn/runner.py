@@ -35,7 +35,8 @@ class OnPolicyRunner:
         self.cfg = algo_cfg
         self.log_dir = log_dir
         self.writer = MetricWriter(log_dir) if log_dir else None
-        self.save_interval = 100
+        self.save_interval = 100        # slim model checkpoint (reference cadence)
+        self.full_save_interval = 1000  # full exact-resume state (big: ring + env)
         self.current_iteration = 0
         self.mesh = mesh
 
@@ -104,8 +105,11 @@ class OnPolicyRunner:
                       f"| disc {metrics['disc/disc']:.4f} "
                       f"| fps {fps:,.0f}", flush=True)
             if self.log_dir and (it + 1) % self.save_interval == 0:
-                self.save(it + 1)
+                self.save(it + 1,
+                          full=(it + 1) % self.full_save_interval == 0)
         self.current_iteration += num_iterations
+        if self.log_dir:
+            self.save(num_iterations)   # final save is always exact-resume
         total = time.time() - t_start
         print(f"trained {num_iterations} iters in {total:.1f}s "
               f"({num_iterations * steps_per_iter / total:,.0f} env-steps/s)")
@@ -140,11 +144,18 @@ class OnPolicyRunner:
             "iteration": jnp.asarray(self.current_iteration),
         }
 
-    def save(self, step: int):
+    def save(self, step: int, full: bool = True):
+        """Slim model checkpoint (the reference's dict contents) every call;
+        the full exact-resume state (which includes the ~N*ring-sized disc
+        replay ring and env state) only when `full` — pulling it from the
+        device synchronously costs seconds per save on a remote-attached
+        accelerator (measured: sustained fps halved at 4096 envs with
+        full-state saves every 100 iters)."""
         path = ckpt.save(os.path.join(self.log_dir, "model.msgpack"),
                          jax.device_get(self.checkpoint_tree()), step=step)
-        ckpt.save(os.path.join(self.log_dir, "state.msgpack"),
-                  jax.device_get(self.full_state_tree()), step=step)
+        if full:
+            ckpt.save(os.path.join(self.log_dir, "state.msgpack"),
+                      jax.device_get(self.full_state_tree()), step=step)
         return path
 
     def load(self, path: str):

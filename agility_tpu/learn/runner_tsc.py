@@ -58,7 +58,8 @@ class TscOnPolicyRunner:
         self.cfg = algo_cfg
         self.log_dir = log_dir
         self.writer = MetricWriter(log_dir) if log_dir else None
-        self.save_interval = 100
+        self.save_interval = 100        # slim model checkpoint
+        self.full_save_interval = 1000  # full exact-resume state (big)
         self.current_iteration = 0
         self.mesh = mesh
 
@@ -107,8 +108,11 @@ class TscOnPolicyRunner:
                       f"| succ {float(self.env_state.success_rate):.3f} "
                       f"| fps {fps:,.0f}", flush=True)
             if self.log_dir and (it + 1) % self.save_interval == 0:
-                self.save(it + 1)
+                self.save(it + 1,
+                          full=(it + 1) % self.full_save_interval == 0)
         self.current_iteration += num_iterations
+        if self.log_dir:
+            self.save(num_iterations)   # final save is always exact-resume
         total = time.time() - t_start
         print(f"trained {num_iterations} iters in {total:.1f}s "
               f"({num_iterations * steps_per_iter / total:,.0f} env-steps/s)")
@@ -134,11 +138,16 @@ class TscOnPolicyRunner:
             "iteration": jnp.asarray(self.current_iteration),
         }
 
-    def save(self, step: int):
+    def save(self, step: int, full: bool = True):
+        """Slim model checkpoint every call; the full exact-resume state
+        (disc window + env state + optimizers) only when `full` — the
+        synchronous device pull is seconds-expensive on a remote-attached
+        accelerator (see runner.py:save)."""
         path = ckpt.save(os.path.join(self.log_dir, "model.msgpack"),
                          jax.device_get(self.checkpoint_tree()), step=step)
-        ckpt.save(os.path.join(self.log_dir, "state.msgpack"),
-                  jax.device_get(self.full_state_tree()), step=step)
+        if full:
+            ckpt.save(os.path.join(self.log_dir, "state.msgpack"),
+                      jax.device_get(self.full_state_tree()), step=step)
         return path
 
     def load(self, path: str):
