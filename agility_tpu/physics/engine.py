@@ -339,7 +339,11 @@ def control_step_batched(mc: ModelConsts, cfg: EngineConfig, grid, s: EnvState,
         st, _ = carry
         pre = jax.vmap(
             lambda si, ci, pi, tp: _pre_contact(mc, cfg, grid, si, ci, pi, tp),
-            in_axes=(0, 0, 0, (0 if terrain_patch is not None else None)),
+            in_axes=(0, 0, 0, (pt.Patch(values=0, min3=0, x0=0, y0=0,
+                                        hscale=None, origin=None,
+                                        ceil=None if terrain_patch.ceil is None
+                                        else 0)
+                               if terrain_patch is not None else None)),
         )(st, control, params, terrain_patch)
         u_free, phi, normals, JpT, MinvJT, G, taus = pre
         u_new, sph_force = pc.jacobi_solve_batch(
