@@ -526,6 +526,29 @@ class Go2LocomotionEnv:
             lin_ang = jax.random.uniform(ks[2], (N, 6), minval=-0.5, maxval=0.5)
             lin, ang = lin_ang[:, :3], lin_ang[:, 3:]
 
+        # recovery init (legged_robot.py:208-211, 636-661): with prob p, the
+        # whole reset batch spawns in a randomized fallen pose (uniform
+        # orientation, dofs x U(0.5, 2), dof vel +-1) so the policy learns
+        # to get up.  One draw per reset step, matching the reference's
+        # single np.random draw per reset_idx call.  Dead by config in the
+        # go2 task (recovery_init_prob = 0.0, go2_locomotion_config.py:20).
+        if cfg.env.recovery_init_prob > 0.0:
+            kr = jax.random.split(ks[4], 5)
+            use_rec = jax.random.uniform(kr[0], ()) <= cfg.env.recovery_init_prob
+            eul = jax.random.uniform(kr[1], (N, 3), minval=-3.14, maxval=3.14)
+            quat_rec = qm.quat_from_euler_xyz(eul[:, 0], eul[:, 1], eul[:, 2])
+            dof_rec = self.mc.default_dof_pos * jax.random.uniform(
+                kr[2], (N, 12), minval=0.5, maxval=2.0)
+            dofv_rec = jax.random.uniform(kr[3], (N, 12), minval=-1.0, maxval=1.0)
+            pos_rec = jnp.asarray(cfg.init_state.pos) + self.env_origins
+            la_rec = jax.random.uniform(kr[4], (N, 6), minval=-0.5, maxval=0.5)
+            base_pos = jnp.where(use_rec, pos_rec, base_pos)
+            base_quat = jnp.where(use_rec, quat_rec, base_quat)
+            dof_pos = jnp.where(use_rec, dof_rec, dof_pos)
+            dof_vel = jnp.where(use_rec, dofv_rec, dof_vel)
+            lin = jnp.where(use_rec, la_rec[:, :3], lin)
+            ang = jnp.where(use_rec, la_rec[:, 3:], ang)
+
         u_new = jnp.concatenate([lin, ang, dof_vel], axis=-1)
         m1 = mask[:, None]
         sim = eng.EnvState(

@@ -106,12 +106,35 @@ def extract_batch(grid: HeightGrid, centers_xy, size: int, weights=None) -> Patc
         surfaces.append(grid.ceiling_layer.astype(jnp.float32))
     Gs = jnp.stack(surfaces, axis=-1)                      # (H, W, K)
 
+    # Banded gather: fetching full-width rows costs (N*P, W, K) HBM — 21 GB
+    # on the TSC obstacle world (W=1800, K=5, P=56).  Instead gather a
+    # 2-block column band (2B = 128 lanes) around each window, then select
+    # columns inside the band.  B >= P is required so any window fits in
+    # two consecutive blocks.
+    B = 64 if size <= 64 else 128
+    assert size <= B, f"patch size {size} exceeds column band {B}"
+    K = Gs.shape[-1]
+    nb = -(-W // B) + 1
+    Gp = jnp.pad(Gs, ((0, 0), (0, nb * B - W), (0, 0)))
+    blocks = Gp.reshape(H, nb, B, K)
+    G2 = jnp.concatenate([blocks[:, :-1], blocks[:, 1:]], axis=2)  # (H, nb-1, 2B, K)
+    yb = jnp.clip(y0 // B, 0, nb - 2)
+    off = y0 - yb * B
+
     ix = x0[:, None] + jnp.arange(size)                    # (N, P)
-    rows = Gs[ix]                                          # (N, P, W, K)
-    iy = y0[:, None, None] + jnp.arange(size)[None, None, :]
-    oh = (jnp.arange(W)[None, :, None] == iy).astype(jnp.bfloat16)  # (N, W, P)
-    out = jnp.einsum("npwk,nwq->npqk", rows, oh,
-                     precision=jax.lax.Precision.HIGHEST)  # (N, P, P, K)
+    N = ix.shape[0]
+    # chunk envs so the gathered band stays under ~300 MB
+    band_bytes = size * 2 * B * K * 4
+    chunk = max(1, min(N, int(300e6 // max(band_bytes, 1))))
+    outs = []
+    for s0 in range(0, N, chunk):
+        sl = slice(s0, min(s0 + chunk, N))
+        rows = G2[ix[sl], yb[sl, None]]                    # (n, P, 2B, K)
+        iy = off[sl, None, None] + jnp.arange(size)[None, None, :]
+        oh = (jnp.arange(2 * B)[None, :, None] == iy).astype(jnp.bfloat16)
+        outs.append(jnp.einsum("npjk,njq->npqk", rows, oh,
+                               precision=jax.lax.Precision.HIGHEST))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
     k = 0
     vals = out[..., 0]

@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import pytest
 
 from agility_tpu.envs.config import Go2LocomotionCfg, EnvCfg, TerrainCfg, smoke_cfg
+from agility_tpu.core import quat as qm
 from agility_tpu.envs.go2_locomotion import Go2LocomotionEnv
 
 
@@ -93,3 +94,29 @@ def test_full_cfg_builds():
     assert out.obs.shape == (4, 671)
     # mocap init: dof positions should differ from default for some envs
     assert np.asarray(state.latent_c).sum(-1).max() == 1.0
+
+
+def test_recovery_init():
+    """With recovery_init_prob=1 every reset spawns the randomized fallen
+    pose (uniform orientation, dofs x U(0.5, 2), root vel +-0.5) —
+    reference _reset_dofs_rec/_reset_root_states_rec (legged_robot.py:
+    208-211, 636-661)."""
+    import dataclasses
+
+    cfg = smoke_cfg(num_envs=16)
+    cfg = dataclasses.replace(
+        cfg, env=dataclasses.replace(cfg.env, recovery_init_prob=1.0))
+    env = Go2LocomotionEnv(cfg)
+    es = env.init_state(jax.random.PRNGKey(0))
+    mask = jnp.ones(16, bool)
+    es2 = env._reset_where(es, mask, jax.random.PRNGKey(3))
+    # orientations are uniformly random, not upright
+    up = np.asarray(qm.quat_rotate(es2.sim.base_quat,
+                                   jnp.tile(jnp.array([0.0, 0.0, 1.0]), (16, 1))))
+    assert (up[:, 2] < 0.5).any(), "expected some fallen orientations"
+    # dof scaling in [0.5, 2] x default
+    d = np.asarray(env.mc.default_dof_pos)
+    nz = np.abs(d) > 1e-6
+    ratio = np.asarray(es2.sim.dof_pos)[:, nz] / d[nz]
+    assert ratio.min() >= 0.5 - 1e-5 and ratio.max() <= 2.0 + 1e-5
+    assert np.abs(np.asarray(es2.sim.u[:, :6])).max() <= 0.5 + 1e-5
