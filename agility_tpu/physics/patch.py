@@ -69,7 +69,8 @@ def extract(grid: HeightGrid, center_xy, size: int, weights=None) -> Patch:
                  origin=grid.origin, ceil=ceil)
 
 
-def extract_batch(grid: HeightGrid, centers_xy, size: int, weights=None) -> Patch:
+def extract_batch(grid: HeightGrid, centers_xy, size: int, weights=None,
+                  with_ceiling: bool = True) -> Patch:
     """Batched patch extraction for N envs at once: one row-gather plus one
     exact one-hot MXU contraction per surface stack.
 
@@ -94,7 +95,9 @@ def extract_batch(grid: HeightGrid, centers_xy, size: int, weights=None) -> Patc
     surfaces = [grid.height]
     have_lever = grid.lever is not None
     have_lid = grid.layer_id is not None
-    have_ceil = grid.ceiling is not None
+    # callers that only sample the floor (scandot measurement) skip the
+    # ceiling surfaces — 40% less gathered band on 5-surface worlds
+    have_ceil = with_ceiling and grid.ceiling is not None
     have_cl = have_ceil and grid.ceiling_layer is not None
     if have_lever:
         surfaces.append(grid.lever)
