@@ -594,9 +594,9 @@ class Go2AgilityEnv:
 
             # TSC scandots reach ~1.3 m from the base at 0.05 m scale
             size = max(self.engine_cfg.patch_size, 56)
-            p = pt.extract_batch(self.grid, base_pos[:, :2], size, w,
-                                 with_ceiling=False)
-            return pt.sample_height_min3_batch(p, pts[..., 0], pts[..., 1])
+            return pt.measure_scandots_batch(
+                self.grid, base_pos[:, :2], size, w,
+                pts[..., 0], pts[..., 1])
         return jax.vmap(
             lambda p, wi: hf.sample_height_min3(self.grid, p[:, 0], p[:, 1], wi)
         )(pts, w)

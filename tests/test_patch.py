@@ -121,3 +121,56 @@ def test_extract_batch_matches_vmapped_extract(rng):
                     )(ref, x, y)
     have = pt.sample_height_min3_batch(got, x, y)
     np.testing.assert_allclose(np.asarray(have), np.asarray(want), atol=1e-5)
+
+
+def _wide_grid(rng, H=96, W=220):
+    """A grid wide enough (W > 64) to exercise the stride-banded gather."""
+    h = rng.normal(size=(H, W)).astype(np.float32) * 0.1
+    lid = np.zeros((H, W), np.int8)
+    lid[20:30, 60:120] = 1
+    lid[40:60, 130:180] = 2
+    lever = np.zeros((H, W), np.float32)
+    lever[10:16, 150:190] = np.linspace(-1, 1, 6)[:, None]
+    return hf.from_numpy(h, 0.1, origin_xy=(-4.8, -11.0), layer_id=lid,
+                         lever=lever)
+
+
+def test_extract_batch_stride_band_matches_vmapped_extract(rng):
+    """Wide grids take the overlapping 64-lane stride-block band — must
+    remain numerically identical to vmap(extract) for several window
+    sizes (engine 24/32 use stride 32, scandot 56 uses stride 8)."""
+    grid = _wide_grid(rng)
+    N = 24
+    centers = jnp.asarray(
+        np.stack([rng.uniform(-4.8, 4.6, N),
+                  rng.uniform(-11.0, 10.8, N)], -1).astype(np.float32))
+    w = jnp.asarray(rng.uniform(-0.3, 0.3, (N, 3)).astype(np.float32))
+    for size in (24, 32, 56):
+        ref = jax.vmap(lambda c, wi: pt.extract(grid, c, size, wi))(centers, w)
+        got = pt.extract_batch(grid, centers, size, w)
+        np.testing.assert_array_equal(np.asarray(got.x0), np.asarray(ref.x0))
+        np.testing.assert_array_equal(np.asarray(got.y0), np.asarray(ref.y0))
+        np.testing.assert_allclose(np.asarray(got.values),
+                                   np.asarray(ref.values), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got.min3),
+                                   np.asarray(ref.min3), atol=1e-6)
+
+
+def test_measure_scandots_matches_patch_sampling(rng):
+    """Direct band-sampled scandot measure == extract_batch + min3 sampling
+    up to bf16 rounding of the gathered floor stack (<~1 cm at course
+    heights)."""
+    grid = _wide_grid(rng)
+    N, K = 24, 13
+    centers = jnp.asarray(
+        np.stack([rng.uniform(-4.8, 4.6, N),
+                  rng.uniform(-11.0, 10.8, N)], -1).astype(np.float32))
+    w = jnp.asarray(rng.uniform(-0.3, 0.3, (N, 3)).astype(np.float32))
+    px = centers[:, :1] + jnp.asarray(rng.uniform(-1.3, 1.3, (N, K)).astype(np.float32))
+    py = centers[:, 1:] + jnp.asarray(rng.uniform(-1.3, 1.3, (N, K)).astype(np.float32))
+    for size in (56, 32):
+        p = pt.extract_batch(grid, centers, size, w)
+        want = pt.sample_height_min3_batch(p, px, py)
+        got = pt.measure_scandots_batch(grid, centers, size, w, px, py)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1.5e-2)
