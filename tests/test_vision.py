@@ -63,3 +63,31 @@ def test_vision_distillation_smoke():
         assert np.isfinite(float(v)), (k, v)
     flat, _ = jax.flatten_util.ravel_pytree(ts.enc_params)
     assert np.isfinite(np.asarray(flat)).all()
+
+
+def test_vision_student_catches_teacher():
+    """Distillation makes progress at toy scale: over a dozen iterations on
+    a fixed course the student's imitation loss (discrete + continuous
+    action heads regressed onto the frozen teacher's actions) must drop
+    (VERDICT r1 weak #7; reference evidence is the vision runner's
+    depth_actor loss curve, tsc rsl_rl ppo.py:327-358)."""
+    cfg = tsc_smoke_cfg(num_envs=2, courses=1)
+    cfg = cfg.__class__(**{**cfg.__dict__, "depth": DepthCfg(
+        use_camera=True, resized=(30, 20))})
+    env = Go2AgilityEnv(cfg)
+    bbc = load_bbc_frozen(None)
+    teacher = TscPPO(env, bbc, TscAlgoCfg(num_steps_per_env=2), seed=0)
+    tts = teacher.init_train_state(jax.random.PRNGKey(0))
+    vision = TscVision(env, teacher, tts.ac_params, tts.est_params,
+                       VisionCfg(num_steps_per_env=3, byol_minibatches=2),
+                       seed=0)
+    ts = vision.init_train_state(jax.random.PRNGKey(1))
+    es = env.init_state(jax.random.PRNGKey(2))
+    it_fn = jax.jit(vision.train_iteration)
+    losses = []
+    for _ in range(12):
+        ts, es, metrics = it_fn(ts, es)
+        losses.append(float(metrics["vision/actor"]))
+    losses = np.asarray(losses)
+    assert np.isfinite(losses).all(), losses
+    assert losses[-3:].mean() < losses[:3].mean(), losses
