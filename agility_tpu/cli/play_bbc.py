@@ -30,6 +30,10 @@ def get_args():
                    help="check rollout gait statistics against per-mode "
                         "bands derived from the mocap clips (behavior-parity "
                         "harness, io/gait.py); exits 1 on failure")
+    p.add_argument("--interactive", action="store_true",
+                   help="curses keyboard play: live telemetry panel, "
+                        "W/S/A/D velocity, 1-5 mode, height keys "
+                        "(reference base_task.py:71-236 viewer bindings)")
     return p.parse_args()
 
 
@@ -48,11 +52,13 @@ def main():
     make_env_cfg, make_algo_cfg = registry.get(args.task)
     cfg = make_env_cfg()
     # play-time overrides (reference play.py:20-38: small batch, fixed mode,
-    # domain randomization off)
+    # domain randomization off); interactive keeps all modes switchable
+    mocap_cat = (cfg.env.mocap_category if args.interactive
+                 else (args.mode,))
     cfg = registry.apply_overrides(
         cfg,
         **{"env.num_envs": args.num_envs,
-           "env.mocap_category": (args.mode,),
+           "env.mocap_category": mocap_cat,
            "mocap_dir": args.mocap_dir,
            "noise.add_noise": False,
            "domain_rand.push_robots": False,
@@ -76,6 +82,12 @@ def main():
     step = jax.jit(env.step)
     state = runner.env_state
     mode_idx = MOCAP_CATEGORIES.index(args.mode)
+    if args.interactive:
+        from agility_tpu.cli import interactive
+
+        interactive.run(env, policy, state, mode_idx=mode_idx,
+                        vx=args.vx, vy=args.vy, wz=args.wz)
+        return
     cmd = jnp.tile(jnp.asarray([args.vx, args.vy, args.wz, 0.0, 0.30]),
                    (args.num_envs, 1))
     c = jax.nn.one_hot(jnp.full((args.num_envs,), mode_idx), len(MOCAP_CATEGORIES))
