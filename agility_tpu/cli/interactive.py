@@ -24,6 +24,44 @@ MODES = ("walk", "pace", "trot", "canter", "jump")
 _EPS = 0.1
 
 
+def apply_key(ch, cmd, mode, jh_range, lh_range):
+    """Pure key->command transition (reference base_task.py:71-113 epsilon
+    semantics).  Returns (cmd, mode, action) where action is None,
+    "reset", or "quit"; cmd is a fresh dict."""
+    cmd = dict(cmd)
+    jh_lo, jh_hi = jh_range
+    lh_lo, lh_hi = lh_range
+    if ch in (ord("x"), 27):
+        return cmd, mode, "quit"
+    if ch == ord("r"):
+        return cmd, mode, "reset"
+    if ch == ord("w"):
+        cmd["vx"] += _EPS
+    elif ch == ord("s"):
+        cmd["vx"] -= _EPS
+    elif ch == ord("a"):
+        cmd["vy"] += _EPS
+    elif ch == ord("d"):
+        cmd["vy"] -= _EPS
+    elif ch == ord("q"):
+        cmd["wz"] += _EPS
+    elif ch == ord("e"):
+        cmd["wz"] -= _EPS
+    elif ch == ord("j"):
+        cmd["jump_h"] = min(cmd["jump_h"] + 0.05, jh_hi)
+    elif ch == ord("u"):
+        cmd["jump_h"] = max(cmd["jump_h"] - 0.05, jh_lo)
+    elif ch == ord("h"):
+        cmd["loco_h"] = min(cmd["loco_h"] + 0.05, lh_hi)
+    elif ch == ord("n"):
+        cmd["loco_h"] = max(cmd["loco_h"] - 0.05, lh_lo)
+    elif ch == ord(" "):
+        cmd["vx"] = cmd["vy"] = cmd["wz"] = 0.0
+    elif ord("1") <= ch < ord("1") + len(MODES):
+        mode = ch - ord("1")
+    return cmd, mode, None
+
+
 def _contacts_str(c):
     return " ".join(f"{leg}:{'#' if bool(v) else '.'}"
                     for leg, v in zip(("FL", "FR", "RL", "RR"), c))
@@ -47,41 +85,19 @@ def run(env, policy, state, mode_idx=2, vx=0.0, vy=0.0, wz=0.0):
     reset_key = jax.random.PRNGKey(17)
 
     def screen_loop(scr):
-        nonlocal state, mode, reset_key
+        nonlocal state, cmd, mode, reset_key
         curses.curs_set(0)
         scr.nodelay(True)
         fps, t_last, steps_done = 0.0, time.time(), 0
         while True:
             ch = scr.getch()
-            if ch in (ord("x"), 27):
+            cmd, mode, action = apply_key(ch, cmd, mode,
+                                          (jh_lo, jh_hi), (lh_lo, lh_hi))
+            if action == "quit":
                 break
-            elif ch == ord("w"):
-                cmd["vx"] += _EPS
-            elif ch == ord("s"):
-                cmd["vx"] -= _EPS
-            elif ch == ord("a"):
-                cmd["vy"] += _EPS
-            elif ch == ord("d"):
-                cmd["vy"] -= _EPS
-            elif ch == ord("q"):
-                cmd["wz"] += _EPS
-            elif ch == ord("e"):
-                cmd["wz"] -= _EPS
-            elif ch == ord("j"):
-                cmd["jump_h"] = min(cmd["jump_h"] + 0.05, jh_hi)
-            elif ch == ord("u"):
-                cmd["jump_h"] = max(cmd["jump_h"] - 0.05, jh_lo)
-            elif ch == ord("h"):
-                cmd["loco_h"] = min(cmd["loco_h"] + 0.05, lh_hi)
-            elif ch == ord("n"):
-                cmd["loco_h"] = max(cmd["loco_h"] - 0.05, lh_lo)
-            elif ch == ord(" "):
-                cmd["vx"] = cmd["vy"] = cmd["wz"] = 0.0
-            elif ch == ord("r"):
+            if action == "reset":
                 reset_key, sub = jax.random.split(reset_key)
                 state = env.init_state(sub)
-            elif ord("1") <= ch <= ord("5"):
-                mode = ch - ord("1")
 
             is_jump = MODES[mode] == "jump"
             cvec = jnp.tile(jnp.asarray(
