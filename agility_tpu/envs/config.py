@@ -227,6 +227,8 @@ class SimCfg:
     solver: str = "jacobi"
     jacobi_iters: int = 10
     jacobi_relax: float = 0.6
+    warm_start: bool = False   # carry contact impulses across substeps
+    #                            (engine.EngineConfig.warm_start)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -119,6 +119,7 @@ class Go2AgilityEnv:
             dt=cfg.sim.dt, decimation=cfg.control.decimation,
             solver=cfg.sim.solver, jacobi_iters=cfg.sim.jacobi_iters,
             jacobi_relax=cfg.sim.jacobi_relax,
+            warm_start=cfg.sim.warm_start,
             patch_size=32)   # 1.6 m span at the 0.05 m course scale
 
         # ---- obstacle course world ----

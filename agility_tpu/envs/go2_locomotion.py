@@ -131,6 +131,7 @@ class Go2LocomotionEnv:
             solver=cfg.sim.solver,
             jacobi_iters=cfg.sim.jacobi_iters,
             jacobi_relax=cfg.sim.jacobi_relax,
+            warm_start=cfg.sim.warm_start,
             restitution=cfg.terrain.restitution,
         )
 

@@ -34,6 +34,9 @@ class EngineConfig:
     pgs_iters: int = 4               # ~ physx num_position_iterations (cfg:182)
     jacobi_iters: int = 10
     jacobi_relax: float = 0.6
+    warm_start: bool = False  # carry contact impulses across substeps (SoA
+    #                           path); lets jacobi_iters drop to ~5 at equal
+    #                           contact accuracy — flip on after TPU timing
     baumgarte: float = 0.2
     contact_slop: float = 0.002
     max_depenetration_vel: float = 1.0   # physx cfg:187

@@ -601,9 +601,14 @@ def delassus_diag_inv(f, r, lever, dtype):
 
 
 def jacobi_solve(phi, n, r, lever, f, u_free, mu, dt, *, iters, relax,
-                 baumgarte, slop, max_depen_vel, restitution, lam_max=25.0):
+                 baumgarte, slop, max_depen_vel, restitution, lam_max=25.0,
+                 lam0=None):
     """Matrix-free world-frame projected block-Jacobi: same fixed point as
-    fastpath.jacobi_solve_world.  Returns (u_new 18-list, force (3, S, N))."""
+    fastpath.jacobi_solve_world.  With `lam0` (impulses from the previous
+    substep, (3, S, N)) the iteration is warm-started — the projection's
+    active mask immediately zeroes rows whose contact separated, so stale
+    impulses cannot push through broken contacts.  Returns
+    (u_new 18-list, force (3, S, N), lam (3, S, N))."""
     dtype = phi.dtype
     active = (phi < 0.0).astype(dtype)
     nx, ny, nz = n
@@ -638,11 +643,13 @@ def jacobi_solve(phi, n, r, lever, f, u_free, mu, dt, *, iters, relax,
         return project(lam + relax * dl), None
 
     S, N = phi.shape
-    lam, _ = jax.lax.scan(body, jnp.zeros((3, S, N), dtype), None, length=iters)
+    init = (project(lam0.astype(dtype)) if lam0 is not None
+            else jnp.zeros((3, S, N), dtype))
+    lam, _ = jax.lax.scan(body, init, None, length=iters)
     tau = apply_JT(lam, r, lever)
     w = solve(f, tau)
     u_new = [u_free[i] + w[i] for i in range(18)]
-    return u_new, lam / dt
+    return u_new, lam / dt, lam
 
 
 # ---------------------------------------------------------------------------
@@ -718,7 +725,7 @@ def _from_soa(sd: SoAState):
 
 
 def substep(mc: ModelConsts, cfg, sd: SoAState, target, kp, kd, prm, sampler,
-            ceil_sampler=None):
+            ceil_sampler=None, lam0=None):
     """One physics substep in env-minor layout.
 
     target/kp/kd: (12, N); prm: dict of env-minor randomization arrays
@@ -765,11 +772,12 @@ def substep(mc: ModelConsts, cfg, sd: SoAState, target, kp, kd, prm, sampler,
         r = tuple(jnp.concatenate([r[i], r[i][:k]], axis=0) for i in range(3))
         lever = jnp.concatenate([lever, lever[:, :, :k]], axis=2)
 
-    u_new, force = jacobi_solve(
+    u_new, force, lam = jacobi_solve(
         phi, n, r, lever, f, u_free, prm["friction"], cfg.dt,
         iters=cfg.jacobi_iters, relax=cfg.jacobi_relax,
         baumgarte=cfg.baumgarte, slop=cfg.contact_slop,
-        max_depen_vel=cfg.max_depenetration_vel, restitution=cfg.restitution)
+        max_depen_vel=cfg.max_depenetration_vel, restitution=cfg.restitution,
+        lam0=lam0)
 
     # integration (engine semantics: base-velocity backstop, semi-implicit
     # Euler, joint limit clamp)
@@ -789,7 +797,7 @@ def substep(mc: ModelConsts, cfg, sd: SoAState, target, kp, kd, prm, sampler,
         q2 = q2c
         qd2 = jnp.clip(qd2, -vl, vl)
     u_arr = jnp.concatenate([u_arr[:6], qd2], axis=0)
-    return SoAState(bp=bp2, bq=bq2, q=q2, u=u_arr), (tau_j, tau_org), force
+    return SoAState(bp=bp2, bq=bq2, q=q2, u=u_arr), (tau_j, tau_org), force, lam
 
 
 def control_step_batched(mc: ModelConsts, cfg, grid: hf.HeightGrid, s,
@@ -840,16 +848,27 @@ def control_step_batched(mc: ModelConsts, cfg, grid: hf.HeightGrid, s,
         # ceiling contact rows accumulate onto the same base-link bodies
         body_mat = jnp.concatenate([body_mat, body_mat[:, : c.n_ceil]], axis=1)
 
+    warm = cfg.warm_start
+
     def body(carry, _):
-        st, _ = carry
-        st2, taus, force = substep(mc, cfg, st, target, kp, kd, prm, sampler,
-                                   ceil_sampler)
+        if warm:
+            st, _, lam0 = carry
+        else:
+            (st, _), lam0 = carry, None
+        st2, taus, force, lam = substep(mc, cfg, st, target, kp, kd, prm,
+                                        sampler, ceil_sampler, lam0=lam0)
         bf = jnp.einsum("bs,asn->ban", body_mat, force)   # (B, 3, N)
-        return (st2, taus), bf
+        out = (st2, taus, lam) if warm else (st2, taus)
+        return out, bf
 
     zt = jnp.zeros((c.nu, N), s.base_pos.dtype)
-    (sd2, taus), bf_all = jax.lax.scan(
-        body, (sd, (zt, zt)), None, length=cfg.decimation)
+    if warm:
+        lam_init = jnp.zeros((3, body_mat.shape[1], N), s.base_pos.dtype)
+        (sd2, taus, _), bf_all = jax.lax.scan(
+            body, (sd, (zt, zt), lam_init), None, length=cfg.decimation)
+    else:
+        (sd2, taus), bf_all = jax.lax.scan(
+            body, (sd, (zt, zt)), None, length=cfg.decimation)
     body_forces = jnp.transpose(bf_all[-1], (2, 0, 1))            # (N, B, 3)
     max_body_forces = jnp.transpose(
         jnp.max(jnp.abs(bf_all), axis=0), (2, 0, 1))

@@ -20,6 +20,9 @@ Env knobs:
   BENCH_FAST   (default 0)     1 = shrink the *setup* compile surface
                                (expert preload size, replay ring) without
                                touching the measured train iteration
+  BENCH_WARM   (default 0)     1 = contact warm-start + 5 Jacobi sweeps
+                               (A/B knob; default stays the shipped config
+                               so driver runs hit the primed cache)
 """
 import json
 import os
@@ -64,6 +67,13 @@ def main():
         env=EnvCfg(num_envs=num_envs),
         terrain=TerrainCfg(num_rows=4, num_cols=4, border_size=10.0),
     )
+    if os.environ.get("BENCH_WARM", "0") == "1":
+        import dataclasses
+
+        from agility_tpu.envs.config import SimCfg
+
+        cfg = dataclasses.replace(
+            cfg, sim=SimCfg(warm_start=True, jacobi_iters=5))
     env = Go2LocomotionEnv(cfg)
     _beat("env built")
     # BENCH_FAST shrinks only setup-time compile surface (preload jits);

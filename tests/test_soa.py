@@ -205,3 +205,52 @@ def test_ceiling_contact_matches_oracle(rng):
     # the roof actually produced downward force on the trunk somewhere
     bf = np.asarray(out_ref[2])                # (N, B, 3) body forces
     assert bf[:, 0, 2].min() < -1.0
+
+def test_warm_start_matches_cold_solution(rng):
+    """warm_start=True with half the Jacobi sweeps must land on the same
+    contact solution the cold 10-sweep solve does (it shares the fixed
+    point; the previous substep's impulses are just a better initial
+    iterate), and a standing robot must stay stable under it."""
+    params = eng.EnvParams(
+        friction=jnp.ones(N), kp_scale=jnp.ones((N, 12)),
+        kd_scale=jnp.ones((N, 12)), added_base_mass=jnp.zeros(N),
+        base_com_shift=jnp.zeros((N, 3)))
+    grid = hf.flat_grid()
+    s = rand_batch(rng, N, z=0.32)
+    control = eng.Control(
+        target=jnp.tile(MC.default_dof_pos, (N, 1)),
+        kp=jnp.full((N, 12), 40.0), kd=jnp.full((N, 12), 1.0))
+    cold = eng.EngineConfig()
+    warm = eng.EngineConfig(warm_start=True, jacobi_iters=5)
+    # run several control steps so the warm path's carried impulses matter
+    sc, sw = s, s
+    for _ in range(5):
+        sc = soa.control_step_batched(MC, cold, grid, sc, control, params)[0]
+        sw = soa.control_step_batched(MC, warm, grid, sw, control, params)[0]
+    np.testing.assert_allclose(np.asarray(sw.base_pos),
+                               np.asarray(sc.base_pos), atol=3e-3)
+    np.testing.assert_allclose(np.asarray(sw.dof_pos),
+                               np.asarray(sc.dof_pos), atol=6e-3)
+    np.testing.assert_allclose(np.asarray(sw.u), np.asarray(sc.u), atol=0.12)
+
+    # long-horizon stability at the reduced sweep count
+    n = 4
+    st = eng.EnvState(
+        base_pos=jnp.tile(jnp.array([0.0, 0.0, 0.42]), (n, 1)),
+        base_quat=jnp.tile(jnp.array([0.0, 0.0, 0.0, 1.0]), (n, 1)),
+        dof_pos=jnp.tile(MC.default_dof_pos, (n, 1)),
+        u=jnp.zeros((n, 18)))
+    ctl = eng.Control(target=jnp.tile(MC.default_dof_pos, (n, 1)),
+                      kp=jnp.full((n, 12), 40.0), kd=jnp.full((n, 12), 1.0))
+    prm = eng.EnvParams(
+        friction=jnp.ones(n), kp_scale=jnp.ones((n, 12)),
+        kd_scale=jnp.ones((n, 12)), added_base_mass=jnp.zeros(n),
+        base_com_shift=jnp.zeros((n, 3)))
+    step = jax.jit(lambda x: soa.control_step_batched(
+        MC, warm, grid, x, ctl, prm)[0])
+    for _ in range(100):
+        st = step(st)
+    z = np.asarray(st.base_pos[:, 2])
+    assert np.isfinite(np.asarray(st.base_pos)).all()
+    assert (0.22 < z).all() and (z < 0.40).all()
+    assert float(jnp.abs(st.u[:, :6]).max()) < 0.15
