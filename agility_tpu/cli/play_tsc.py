@@ -18,6 +18,10 @@ def get_args():
     p.add_argument("--bbc_path", default=None)
     p.add_argument("--log_root", default="logs")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--use_camera", action="store_true",
+                   help="evaluate the depth student: render depth every "
+                        "update_interval steps, hold encoder outputs between "
+                        "refreshes (reference tsc play.py depth path)")
     return p.parse_args()
 
 
@@ -57,19 +61,70 @@ def main():
     step = jax.jit(env.step)
     set_cmd = jax.jit(env.set_commands)
 
-    @jax.jit
-    def act(obs, obs_bbc):
-        est = alg.estimator.apply(ts.est_params, obs[:, :57])
-        obs = obs.at[:, alg.slices.explicit].set(est)
-        logits_d, mean_c, _ = alg.ac.apply(ts.ac_params, obs, method="heads",
-                                           hist_encoding=True)
-        d = jnp.argmax(logits_d, -1)
-        return jnp.concatenate([d[:, None].astype(jnp.float32), mean_c], -1)
+    if args.use_camera:
+        # depth-student stack: estimator -> depth encoder (held between
+        # camera refreshes) -> student heads (reference tsc play.py)
+        from agility_tpu.learn.vision_tsc import TscVision, VisionCfg
+
+        vision = TscVision(env, alg, ts.ac_params, ts.est_params,
+                           VisionCfg(), seed=args.seed)
+        vts = vision.init_train_state(jax.random.PRNGKey(args.seed))
+        vpath = ckpt.latest(
+            os.path.join(args.log_root, args.proj_name, args.exptid),
+            prefix="vision")
+        student = {"enc_params": vts.enc_params,
+                   "actor_params": vts.actor_params}
+        if vpath:
+            print(f"loading student {vpath}")
+            student = ckpt.load_into(vpath, student)
+        else:
+            print("WARNING: no vision checkpoint — evaluating an "
+                  "untrained student")
+        interval = env.cfg.depth.update_interval
+
+        @jax.jit
+        def refresh(enc_params, es, hidden, key):
+            obs, prop_masked = vision._prep_obs(es)
+            depth = vision.render(key, es)
+            return vision._encode(enc_params, depth, prop_masked, hidden)
+
+        @jax.jit
+        def act(actor_params, es, lat, dyaw, types):
+            obs, _ = vision._prep_obs(es)
+            dyaw_ok = jnp.abs(es.delta_yaw) < vision.cfg.delta_yaw_ok_thresh
+            logits_d, mean_c = vision._act(actor_params, obs, lat, dyaw,
+                                           types, dyaw_ok)
+            d = jnp.argmax(logits_d, -1)
+            return jnp.concatenate([d[:, None].astype(jnp.float32), mean_c],
+                                   -1)
+
+        hidden = vts.hidden
+        key = jax.random.PRNGKey(args.seed + 2)
+        lat = dyaw = types = None
+    else:
+
+        @jax.jit
+        def act(obs, obs_bbc):
+            est = alg.estimator.apply(ts.est_params, obs[:, :57])
+            obs = obs.at[:, alg.slices.explicit].set(est)
+            logits_d, mean_c, _ = alg.ac.apply(ts.ac_params, obs,
+                                               method="heads",
+                                               hist_encoding=True)
+            d = jnp.argmax(logits_d, -1)
+            return jnp.concatenate([d[:, None].astype(jnp.float32), mean_c],
+                                   -1)
 
     successes = 0
     episodes = 0
-    for _ in range(args.steps):
-        hl = act(state.obs_buf, state.obs_bbc_buf)
+    for t in range(args.steps):
+        if args.use_camera:
+            if t % interval == 0:
+                key, k = jax.random.split(key)
+                lat, dyaw, types, hidden = refresh(
+                    student["enc_params"], state, hidden, k)
+            hl = act(student["actor_params"], state, lat, dyaw, types)
+        else:
+            hl = act(state.obs_buf, state.obs_bbc_buf)
         state, next_commands = set_cmd(state, hl)
         actions_bbc = alg.bbc_act(state.obs_bbc_buf, next_commands)
         state, out = step(state, actions_bbc)

@@ -132,6 +132,10 @@ def main():
                           jax.device_get({"enc_params": ts.enc_params,
                                           "actor_params": ts.actor_params}),
                           step=it + 1)
+        ckpt.save(os.path.join(log_dir, "vision.msgpack"),
+                  jax.device_get({"enc_params": ts.enc_params,
+                                  "actor_params": ts.actor_params}),
+                  step=args.max_iterations)
 
 
 if __name__ == "__main__":
