@@ -20,9 +20,9 @@ Env knobs:
   BENCH_FAST   (default 0)     1 = shrink the *setup* compile surface
                                (expert preload size, replay ring) without
                                touching the measured train iteration
-  BENCH_WARM   (default 0)     1 = contact warm-start + 5 Jacobi sweeps
-                               (A/B knob; default stays the shipped config
-                               so driver runs hit the primed cache)
+  BENCH_COLD   (default 0)     1 = disable contact warm-start (10 cold
+                               Jacobi sweeps; A/B knob — warm-start is the
+                               shipped default, measured 684.0k vs 651.7k)
 """
 import json
 import os
@@ -67,13 +67,13 @@ def main():
         env=EnvCfg(num_envs=num_envs),
         terrain=TerrainCfg(num_rows=4, num_cols=4, border_size=10.0),
     )
-    if os.environ.get("BENCH_WARM", "0") == "1":
+    if os.environ.get("BENCH_COLD", "0") == "1":
         import dataclasses
 
         from agility_tpu.envs.config import SimCfg
 
         cfg = dataclasses.replace(
-            cfg, sim=SimCfg(warm_start=True, jacobi_iters=5))
+            cfg, sim=SimCfg(warm_start=False, jacobi_iters=10))
     env = Go2LocomotionEnv(cfg)
     _beat("env built")
     # BENCH_FAST shrinks only setup-time compile surface (preload jits);
