@@ -316,6 +316,16 @@ def step_batch(mc: ModelConsts, cfg: EngineConfig, grid, s: EnvState,
         from agility_tpu.physics import soa
 
         return soa.control_step_batched(mc, cfg, grid, s, control, params)
+    if cfg.warm_start:
+        # Only the SoA path carries contact impulses across substeps
+        # (soa.py lam0 carry).  A warm-start config reaching the vmap or
+        # pallas path would silently run cfg.jacobi_iters COLD sweeps —
+        # short of the validated fixed point.  Restore the equivalent
+        # cold sweep count instead: the warm default of 5 sweeps matches
+        # the cold 10-sweep solution (tests/test_soa.py), i.e. warm ~
+        # halves the sweeps needed, so cold needs 2x.
+        cfg = dataclasses.replace(cfg, warm_start=False,
+                                  jacobi_iters=2 * cfg.jacobi_iters)
     return control_step_batched(mc, cfg, grid, s, control, params)
 
 
