@@ -43,6 +43,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from agility_tpu.learn.jitwrap import jit_with_world
     from agility_tpu.cli import registry
     from agility_tpu.envs.config import MOCAP_CATEGORIES
     from agility_tpu.envs.go2_locomotion import Go2LocomotionEnv
@@ -79,7 +80,7 @@ def main():
         print("WARNING: no checkpoint found — evaluating an untrained policy")
 
     policy = runner.get_inference_policy()
-    step = jax.jit(env.step)
+    step = jit_with_world(env.step, env)
     state = runner.env_state
     mode_idx = MOCAP_CATEGORIES.index(args.mode)
     if args.interactive:

@@ -31,6 +31,7 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from agility_tpu.learn.jitwrap import jit_with_world
     from agility_tpu.envs.go2_agility import Go2AgilityEnv
     from agility_tpu.envs.tsc_config import Go2AgilityCfg
     from agility_tpu.io import checkpoint as ckpt
@@ -58,7 +59,7 @@ def main():
     alg = runner.alg
     ts = runner.train_state
     state = runner.env_state
-    step = jax.jit(env.step)
+    step = jit_with_world(env.step, env)
     set_cmd = jax.jit(env.set_commands)
 
     if args.use_camera:

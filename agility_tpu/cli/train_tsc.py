@@ -48,6 +48,7 @@ def main():
         print(f"multihost: process {jax.process_index()}/{jax.process_count()}"
               f", {jax.device_count()} devices")
 
+    from agility_tpu.learn.jitwrap import jit_with_world
     from agility_tpu.envs.go2_agility import Go2AgilityEnv
     from agility_tpu.envs.tsc_config import Go2AgilityCfg, tsc_smoke_cfg
     from agility_tpu.io import checkpoint as ckpt
@@ -109,8 +110,9 @@ def main():
                            teacher_runner.train_state.est_params,
                            VisionCfg(), seed=args.seed)
         ts = vision.init_train_state(jax.random.PRNGKey(args.seed))
-        es = env.init_state(jax.random.PRNGKey(args.seed + 1))
-        it_fn = jax.jit(vision.train_iteration)
+        es = jit_with_world(env.init_state, env)(
+            jax.random.PRNGKey(args.seed + 1))
+        it_fn = jit_with_world(vision.train_iteration, env)
         from agility_tpu.io.metrics import MetricWriter
 
         writer = MetricWriter(log_dir)

@@ -29,6 +29,7 @@ from agility_tpu.envs import go2_locomotion as loco_mod
 from agility_tpu.envs.tsc_config import Go2AgilityCfg
 from agility_tpu.physics import engine as eng
 from agility_tpu.physics import heightfield as hf
+from agility_tpu.physics import windows
 from agility_tpu.physics.constants import ModelConsts
 from agility_tpu.terrain import obstacle as obst_gen
 
@@ -129,6 +130,10 @@ class Go2AgilityEnv:
                                   layer_id=world.layer_id, lever=world.lever,
                                   ceiling=world.ceil,
                                   ceiling_layer=world.ceil_layer)
+        # TSC scandots reach ~1.3 m from the base -> 56-cell scan windows
+        self.grid = windows.attach_bands(
+            self.grid, contact_size=self.engine_cfg.patch_size,
+            scan_size=max(self.engine_cfg.patch_size, 56))
         self.x_edge = jnp.asarray(world.x_edge)
         rng = np.random.default_rng(cfg.seed)
         N = self.num_envs

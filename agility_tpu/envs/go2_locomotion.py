@@ -32,6 +32,7 @@ from agility_tpu.envs import mocap as mocap_mod
 from agility_tpu.envs.config import Go2LocomotionCfg
 from agility_tpu.physics import engine as eng
 from agility_tpu.physics import heightfield as hf
+from agility_tpu.physics import windows
 from agility_tpu.physics.constants import ModelConsts
 from agility_tpu.terrain import generator as terrain_gen
 
@@ -138,6 +139,8 @@ class Go2LocomotionEnv:
         # ---- terrain ----
         td = terrain_gen.generate(cfg.terrain, seed=cfg.seed)
         self.grid = hf.from_numpy(td.height, td.hscale, origin_xy=td.origin)
+        self.grid = windows.attach_bands(
+            self.grid, contact_size=self.engine_cfg.patch_size)
         self.env_origins = jnp.asarray(
             terrain_gen.assign_env_origins(td, self.num_envs, cfg.terrain, seed=cfg.seed),
             jnp.float32,

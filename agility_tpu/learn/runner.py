@@ -19,6 +19,7 @@ import numpy as np
 from agility_tpu.envs.go2_locomotion import Go2LocomotionEnv
 from agility_tpu.io import checkpoint as ckpt
 from agility_tpu.io.metrics import MetricWriter
+from agility_tpu.learn.jitwrap import jit_with_world
 from agility_tpu.learn.ssinfogail import AlgoCfg, SSInfoGAIL
 
 
@@ -45,13 +46,13 @@ class OnPolicyRunner:
         # jitted init: eager construction dispatches thousands of tiny ops
         # (minutes over a remote-device tunnel); one compiled program is
         # cacheable and fast
-        self.env_state = jax.jit(env.init_state)(k_env)
+        self.env_state = jit_with_world(env.init_state, env)(k_env)
         self.train_state = jax.jit(self.alg.init_train_state)(k_train)
         self.disc_hist = jnp.repeat(
             self.env_state.disc_obs[:, None], env.cfg.env.disc_obs_len, axis=1)
         if mesh is not None:
             self._shard_states()
-        self._iter = jax.jit(self.alg.train_iteration)
+        self._iter = jit_with_world(self.alg.train_iteration, env)
 
     def _shard_states(self):
         """Place env state on the ("env",) mesh axis, replicate the train

@@ -12,6 +12,7 @@ import jax.numpy as jnp
 from agility_tpu.envs.go2_agility import Go2AgilityEnv
 from agility_tpu.io import checkpoint as ckpt
 from agility_tpu.io.metrics import MetricWriter
+from agility_tpu.learn.jitwrap import jit_with_world
 from agility_tpu.learn import networks as nets
 from agility_tpu.learn.ppo_tsc import BBCFrozen, TscAlgoCfg, TscPPO
 
@@ -68,7 +69,7 @@ class TscOnPolicyRunner:
         # jitted init: eager construction dispatches thousands of tiny ops
         # (minutes over a remote-device tunnel); one compiled program is
         # cacheable and fast
-        self.env_state = jax.jit(env.init_state)(k_env)
+        self.env_state = jit_with_world(env.init_state, env)(k_env)
         self.train_state = jax.jit(self.alg.init_train_state)(k_train)
         self.disc_hist = jnp.repeat(
             self.env_state.disc_obs[:, None], env.cfg.env.disc_obs_len, axis=1)
@@ -80,7 +81,7 @@ class TscOnPolicyRunner:
             self.disc_hist = jax.device_put(
                 self.disc_hist, dist_mesh.env_sharding(mesh))
             self.train_state = dist_mesh.replicate_tree(self.train_state, mesh)
-        self._iter = jax.jit(self.alg.train_iteration)
+        self._iter = jit_with_world(self.alg.train_iteration, env)
 
     def learn(self, num_iterations: int, log_every: int = 10):
         steps_per_iter = self.cfg.num_steps_per_env * self.env.num_envs

@@ -37,7 +37,13 @@ class HeightGrid(NamedTuple):
     # (reference URDF collision meshes, obstacle.py:434-523); sampled by the
     # contact engine (upper-body spheres) and the depth ray-caster.
     ceiling: jnp.ndarray = None         # (H, W) f32 or None
-    ceiling_layer: jnp.ndarray = None   # (H, W) int8 or None (same weights)
+    ceiling_layer: jnp.ndarray = None   # (H, W) int8 or None
+    # optional pre-built overlapping column-band stacks for the Pallas
+    # window-DMA extraction path (physics/windows.py; built once at env
+    # setup via windows.attach_bands): contact = f32 all-surface stack for
+    # the engine's terrain patch, scan = bf16 floor-only for scandots.
+    band_contact: jnp.ndarray = None    # (nb, Hp, KB) f32 or None
+    band_scan: jnp.ndarray = None       # (nb, Hp, KB) bf16 or None (same weights)
 
     @property
     def shape(self):

@@ -217,6 +217,11 @@ def measure_scandots_batch(grid: HeightGrid, centers_xy, size: int, weights,
     centers_xy (N, 2), weights (N, L) or None, px/py (N, K) world coords.
     Returns (N, K) float32 heights.
     """
+    from agility_tpu.physics import windows as win
+
+    if win.enabled(grid, size=min(size, *grid.height.shape), scan=True):
+        return win.measure_scandots_band(
+            grid, centers_xy, min(size, *grid.height.shape), weights, px, py)
     H, W = grid.height.shape
     size = min(size, H, W)
     gx0 = (centers_xy[:, 0] - grid.origin[0]) / grid.hscale

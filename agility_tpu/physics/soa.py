@@ -807,6 +807,7 @@ def control_step_batched(mc: ModelConsts, cfg, grid: hf.HeightGrid, s,
     (state, (tau, tau_org), body_forces (N, B, 3), max_body_forces,
     terrain_patch) — computed in env-minor layout."""
     from agility_tpu.physics import patch as pt
+    from agility_tpu.physics import windows as win
 
     c = consts_of(mc)
     N = s.base_pos.shape[0]
@@ -825,7 +826,23 @@ def control_step_batched(mc: ModelConsts, cfg, grid: hf.HeightGrid, s,
 
     terrain_patch = None
     ceil_sampler = None
-    if cfg.patch_size:
+    if cfg.patch_size and win.enabled(grid, size=cfg.patch_size):
+        # Pallas band-DMA extraction (physics/windows.py): one async
+        # HBM->VMEM copy per env instead of XLA's scalar row gather —
+        # measured 2.7x on course-world shapes (tools/bench_windows.py)
+        bp = win.extract_band_batch(
+            grid, s.base_pos[:, :2], cfg.patch_size, params.hf_weights)
+        terrain_patch = bp
+        vals_T = jnp.transpose(bp.values, (1, 2, 0))          # (P8, 64, N)
+        sampler = lambda x, y: win.band_sample_hn(
+            vals_T, bp.x0, bp.y0, bp.roff, bp.coff, grid.origin,
+            grid.hscale, cfg.patch_size, x, y)
+        if bp.ceil is not None:
+            ceil_T = jnp.transpose(bp.ceil, (1, 2, 0))
+            ceil_sampler = lambda x, y: win.band_sample_ceiling(
+                ceil_T, bp.x0, bp.y0, bp.roff, bp.coff, grid.origin,
+                grid.hscale, cfg.patch_size, x, y)
+    elif cfg.patch_size:
         terrain_patch = pt.extract_batch(
             grid, s.base_pos[:, :2], cfg.patch_size, params.hf_weights)
         vals_T = jnp.transpose(terrain_patch.values, (1, 2, 0))   # (P, P, N)

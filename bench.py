@@ -53,6 +53,7 @@ _beat(f"jax imported, backend={jax.default_backend()}")
 
 
 def main():
+    from agility_tpu.learn.jitwrap import jit_with_world
     from agility_tpu.envs.config import Go2LocomotionCfg, EnvCfg, TerrainCfg
     from agility_tpu.envs.go2_locomotion import Go2LocomotionEnv
     from agility_tpu.learn.ssinfogail import AlgoCfg, SSInfoGAIL
@@ -85,12 +86,12 @@ def main():
     _beat("alg built (expert transitions preloaded)")
 
     ts = jax.jit(alg.init_train_state)(jax.random.PRNGKey(0))
-    es = jax.jit(env.init_state)(jax.random.PRNGKey(1))
+    es = jit_with_world(env.init_state, env)(jax.random.PRNGKey(1))
     dh = jnp.repeat(es.disc_obs[:, None], cfg.env.disc_obs_len, axis=1)
     jax.block_until_ready(es.sim.base_pos)
     _beat("states initialized; compiling train_iteration")
 
-    it_fn = jax.jit(alg.train_iteration)
+    it_fn = jit_with_world(alg.train_iteration, env)
     t0 = time.time()
     ts, es, dh, metrics = it_fn(ts, es, dh, jnp.asarray(1))
     jax.block_until_ready(metrics)

@@ -1,0 +1,183 @@
+"""Parity tests for the Pallas band-DMA window extraction (physics/windows.py).
+
+The band path must reproduce the gather path (physics/patch.py) exactly:
+same window origins, same folded values on every window cell, same scandot
+heights.  The kernels run in Pallas interpret mode on the CPU backend
+(AGILITY_WINDOWS=interpret per-test); the TPU-compiled path shares all of
+the index math and fold arithmetic with interpret mode.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from agility_tpu.physics import heightfield as hf
+from agility_tpu.physics import patch as pt
+from agility_tpu.physics import windows as win
+
+N = 16
+H, W = 96, 128
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setenv("AGILITY_WINDOWS", "interpret")
+
+
+def _layered_world(rng, with_ceiling=True):
+    """Random rough world with movable layers, a seesaw lever field, and
+    (optionally) a ceiling with its own movable layer."""
+    height = (0.2 * rng.normal(size=(H, W))).astype(np.float32)
+    layer_id = np.zeros((H, W), np.int8)
+    layer_id[20:30, 40:60] = 1
+    layer_id[50:60, 70:90] = 2
+    lever = np.zeros((H, W), np.float32)
+    lever[70:80, 30:50] = np.linspace(-0.5, 0.5, 20)[None, :]
+    ceil = ceil_l = None
+    if with_ceiling:
+        ceil = np.full((H, W), hf.NO_CEILING, np.float32)
+        ceil[30:40, 20:40] = 0.45
+        ceil_l = np.zeros((H, W), np.int8)
+        ceil_l[30:40, 30:40] = 1
+    return hf.from_numpy(height, 0.05, origin_xy=(-1.0, -1.0),
+                         layer_id=layer_id, lever=lever,
+                         ceiling=ceil, ceiling_layer=ceil_l)
+
+
+def _centers(rng):
+    # world x in [-1, -1 + H*0.05), y in [-1, -1 + W*0.05); keep margin
+    cx = rng.uniform(-0.4, 2.9, N).astype(np.float32)
+    cy = rng.uniform(-0.4, 4.5, N).astype(np.float32)
+    return jnp.asarray(np.stack([cx, cy], -1))
+
+
+def test_contact_band_matches_gather(rng):
+    """extract_band_batch folded values == extract_batch on every window
+    cell (floor and ceiling), with per-env layer weights + lever tilt."""
+    size = 24
+    grid = win.attach_bands(_layered_world(rng), contact_size=size)
+    assert grid.band_contact is not None
+    centers = _centers(rng)
+    weights = jnp.asarray(
+        rng.uniform(-0.3, 0.3, (N, 3)).astype(np.float32))  # 2 layers + lever
+
+    ref = pt.extract_batch(grid, centers, size, weights)
+    bp = win.extract_band_batch(grid, centers, size, weights)
+
+    np.testing.assert_array_equal(np.asarray(bp.x0), np.asarray(ref.x0))
+    np.testing.assert_array_equal(np.asarray(bp.y0), np.asarray(ref.y0))
+    roff = np.asarray(bp.roff)
+    coff = np.asarray(bp.coff)
+    vals = np.asarray(bp.values)
+    ceil = np.asarray(bp.ceil)
+    rv = np.asarray(ref.values)
+    rc = np.asarray(ref.ceil)
+    for i in range(N):
+        got = vals[i, roff[i]:roff[i] + size, coff[i]:coff[i] + size]
+        np.testing.assert_allclose(got, rv[i], atol=1e-6)
+        gotc = ceil[i, roff[i]:roff[i] + size, coff[i]:coff[i] + size]
+        np.testing.assert_allclose(gotc, rc[i], atol=1e-6)
+
+
+def test_contact_band_no_layers(rng):
+    """Plain-height K=1 stack, no weights — kernel mechanism check only
+    (attach_bands deliberately skips K=1 worlds in production, where the
+    gather path measures faster; build the stack directly)."""
+    size = 24
+    height = (0.15 * rng.normal(size=(H, W))).astype(np.float32)
+    grid = hf.from_numpy(height, 0.05, (-1.0, -1.0))
+    grid = grid._replace(
+        band_contact=win.build_bands(grid, size, jnp.float32, True))
+    centers = _centers(rng)
+    ref = pt.extract_batch(grid, centers, size, None)
+    bp = win.extract_band_batch(grid, centers, size, None)
+    assert bp.ceil is None
+    roff = np.asarray(bp.roff)
+    coff = np.asarray(bp.coff)
+    vals = np.asarray(bp.values)
+    rv = np.asarray(ref.values)
+    for i in range(N):
+        got = vals[i, roff[i]:roff[i] + size, coff[i]:coff[i] + size]
+        np.testing.assert_allclose(got, rv[i], atol=1e-6)
+
+
+def test_band_sample_hn_matches_patch_sampler(rng):
+    """band_sample_hn (offset-shifted, rectangular) == soa.patch_sample_hn
+    on the gather patch for random in-window query points."""
+    from agility_tpu.physics import soa
+
+    size = 24
+    grid = win.attach_bands(_layered_world(rng, with_ceiling=False),
+                            contact_size=size)
+    centers = _centers(rng)
+    weights = jnp.asarray(
+        rng.uniform(-0.3, 0.3, (N, 3)).astype(np.float32))
+    ref = pt.extract_batch(grid, centers, size, weights)
+    bp = win.extract_band_batch(grid, centers, size, weights)
+
+    S = 7
+    qx = centers[:, 0][None] + jnp.asarray(
+        rng.uniform(-0.5, 0.5, (S, N)).astype(np.float32))
+    qy = centers[:, 1][None] + jnp.asarray(
+        rng.uniform(-0.5, 0.5, (S, N)).astype(np.float32))
+
+    vals_T = jnp.transpose(ref.values, (1, 2, 0))
+    h_ref, n_ref = soa.patch_sample_hn(
+        vals_T, ref.x0, ref.y0, grid.origin, grid.hscale, qx, qy)
+    band_T = jnp.transpose(bp.values, (1, 2, 0))
+    h_got, n_got = win.band_sample_hn(
+        band_T, bp.x0, bp.y0, bp.roff, bp.coff, grid.origin, grid.hscale,
+        size, qx, qy)
+    np.testing.assert_allclose(np.asarray(h_got), np.asarray(h_ref),
+                               atol=1e-5)
+    for a, b in zip(n_got, n_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_scandots_band_matches_gather(rng):
+    """measure_scandots_band == measure_scandots_batch (same bf16
+    arithmetic) over a 56-cell window on a layered world."""
+    size = 56
+    grid = win.attach_bands(_layered_world(rng, with_ceiling=False),
+                            scan_size=size)
+    assert grid.band_scan is not None
+    centers = _centers(rng)
+    weights = jnp.asarray(
+        rng.uniform(-0.3, 0.3, (N, 3)).astype(np.float32))
+    K = 17
+    px = centers[:, 0:1] + jnp.asarray(
+        rng.uniform(-1.3, 1.3, (N, K)).astype(np.float32))
+    py = centers[:, 1:2] + jnp.asarray(
+        rng.uniform(-1.3, 1.3, (N, K)).astype(np.float32))
+
+    # gather reference: mask the band off the grid so the dispatch in
+    # measure_scandots_batch takes the gather body
+    ref = pt.measure_scandots_batch(
+        grid._replace(band_scan=None), centers, size, weights, px, py)
+    got = win.measure_scandots_band(grid, centers, size, weights, px, py)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_enabled_guards_size_mismatch(rng):
+    """A band stack built for one window size must not be used for
+    another (stride mismatch) — enabled() falls back to gather."""
+    grid = win.attach_bands(_layered_world(rng), contact_size=24)
+    assert win.enabled(grid, size=24)
+    assert not win.enabled(grid, size=56)     # stride 8 vs built stride 32
+    assert not win.enabled(hf.flat_grid(), size=24)
+
+
+def test_attach_bands_skips_tiny_worlds():
+    g = win.attach_bands(hf.flat_grid(), contact_size=24, scan_size=56)
+    assert g.band_contact is None and g.band_scan is None
+
+
+def test_attach_bands_skips_single_surface_worlds(rng):
+    """attach_bands must leave K=1 (plain-height) worlds on the gather
+    path: measured slower banded (495k vs 661k env-steps/s BBC @4096)."""
+    height = (0.15 * rng.normal(size=(H, W))).astype(np.float32)
+    g = win.attach_bands(hf.from_numpy(height, 0.05, (-1.0, -1.0)),
+                         contact_size=24, scan_size=56)
+    assert g.band_contact is None and g.band_scan is None

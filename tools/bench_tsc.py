@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 
 def main():
+    from agility_tpu.learn.jitwrap import jit_with_world
     from agility_tpu.envs.go2_agility import Go2AgilityEnv
     from agility_tpu.envs.tsc_config import Go2AgilityCfg
     from agility_tpu.learn.ppo_tsc import TscAlgoCfg, TscPPO
@@ -40,22 +41,29 @@ def main():
     bbc = load_bbc_frozen(None, seed=0)
     alg = TscPPO(env, bbc, TscAlgoCfg())
     ts = jax.jit(alg.init_train_state)(jax.random.PRNGKey(0))
-    es = jax.jit(env.init_state)(jax.random.PRNGKey(1))
+    es = jit_with_world(env.init_state, env)(jax.random.PRNGKey(1))
     dh = jnp.repeat(es.disc_obs[:, None], 2, axis=1)
     jax.block_until_ready(es.sim.base_pos)
     print(f"N={N}; compiling train_iteration", file=sys.stderr, flush=True)
 
-    it_fn = jax.jit(alg.train_iteration)
+    it_fn = jit_with_world(alg.train_iteration, env)
     t0 = time.time()
     ts, es, dh, m = it_fn(ts, es, dh, jnp.asarray(1))
     jax.block_until_ready(m)
     print(f"compile+first {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
 
     t0 = time.time()
+    prof = os.environ.get("BENCH_PROFILE", "")
+    if prof:
+        jax.profiler.start_trace(prof)
+        t0 = time.time()
     for i in range(iters):
         ts, es, dh, m = it_fn(ts, es, dh, jnp.asarray(i + 2))
     jax.block_until_ready(m)
     dt = (time.time() - t0) / iters
+    if prof:
+        jax.profiler.stop_trace()
+        print(f"trace written to {prof}", file=sys.stderr)
     steps = alg.cfg.num_steps_per_env * N
     print(f"tsc teacher: {dt * 1e3:.1f} ms/iter -> {steps / dt:,.0f} "
           f"env-steps/s (vs 61k 3090-derived: {steps / dt / 61000:.2f}x)")

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 def main():
     import dataclasses
 
+    from agility_tpu.learn.jitwrap import jit_with_world
     from agility_tpu.envs.go2_agility import Go2AgilityEnv
     from agility_tpu.envs.tsc_config import Go2AgilityCfg
     from agility_tpu.learn.ppo_tsc import TscAlgoCfg, TscPPO
@@ -46,12 +47,12 @@ def main():
     vision = TscVision(env, alg, ts_t.ac_params, ts_t.est_params,
                        VisionCfg(), seed=0)
     ts = vision.init_train_state(jax.random.PRNGKey(0))
-    es = jax.jit(env.init_state)(jax.random.PRNGKey(1))
+    es = jit_with_world(env.init_state, env)(jax.random.PRNGKey(1))
     jax.block_until_ready(es.sim.base_pos)
     print(f"N={N}; compiling vision train_iteration", file=sys.stderr,
           flush=True)
 
-    it_fn = jax.jit(vision.train_iteration)
+    it_fn = jit_with_world(vision.train_iteration, env)
     t0 = time.time()
     ts, es, m = it_fn(ts, es)
     jax.block_until_ready(m["vision/actor"])
