@@ -64,6 +64,13 @@ def main():
     if args.num_envs:
         cfg = dataclasses.replace(
             cfg, env=dataclasses.replace(cfg.env, num_envs=args.num_envs))
+    elif args.use_camera and not args.debug:
+        # depth-student training runs at the reference's camera env count
+        # (legged_robot_config.py:65: camera_num_envs=256, applied by
+        # helpers.py:117 when use_camera is set)
+        cfg = dataclasses.replace(
+            cfg, env=dataclasses.replace(cfg.env,
+                                         num_envs=cfg.depth.camera_num_envs))
     if args.courses:
         cfg = dataclasses.replace(
             cfg, obstacle=dataclasses.replace(cfg.obstacle, courses=args.courses))

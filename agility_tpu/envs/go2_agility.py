@@ -155,6 +155,8 @@ class Go2AgilityEnv:
         self.tire_h = jnp.asarray(tire_h, jnp.float32)
         # per-env plank joint damping U(1, 10) (tsc legged_robot.py:1414)
         self.seesaw_damping = jnp.asarray(rng.uniform(1.0, 10.0, N), jnp.float32)
+        self.seesaw_pose = jnp.asarray(
+            world.seesaw_pose[self.course_id], jnp.float32)       # (N, 3)
 
         # ---- body tables (go2_agility_config.py: stricter termination) ----
         m = self.model
@@ -400,8 +402,9 @@ class Go2AgilityEnv:
         from agility_tpu.physics import soa as soa_mod
 
         feet_pos = soa_mod.body_positions(self.mc, sim, self.feet_idx)   # (N, 4, 3)
-        lever_arm = jax.vmap(
-            lambda p: hf.sample_lever(self.grid, p[:, 0], p[:, 1]))(feet_pos)
+        # analytic lever (obstacle.lever_arm): no full-grid gather per foot
+        lever_arm = obst_gen.lever_arm(
+            self.seesaw_pose[:, None, :], feet_pos[:, :, 0], feet_pos[:, :, 1])
         fz = body_forces[:, self.feet_idx, 2]                 # upward on robot
         plank_tau = -jnp.sum(lever_arm * fz, axis=1)          # reaction torque
         th_d = state.seesaw_theta_d + self.dt * (

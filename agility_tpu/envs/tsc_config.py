@@ -127,6 +127,10 @@ class TscCommandsCfg:
 @dataclasses.dataclass(frozen=True)
 class DepthCfg:
     use_camera: bool = False
+    camera_num_envs: int = 256  # depth-student env count (reference
+    #                             legged_robot_config.py:65 caps camera
+    #                             training at 256; the raycast + CNN/GRU
+    #                             activations OOM a v5e chip at >1k envs)
     position: Tuple[float, float, float] = (0.305, 0.0175, 0.098)
     angle_range: Tuple[float, float] = (-5.0, 5.0)    # pitch randomization [deg]
     update_interval: int = 5    # camera refresh period in control steps

@@ -233,14 +233,17 @@ def _dma_loops(pl, pltpu, x0a_ref, yb_ref, g_ref, scratch, sems, EB, P8, al):
 
 def _fold_floor(scratch, w_ref, have_lever, n_layers):
     """Folded floor surface from the band block (EB, P8, KB): height plus
-    lever tilt plus per-env movable-layer weights.
+    lever tilt plus per-env movable-layer weights (w_ref: the lane-resident
+    (EB, WROWS, 128) block from _weight_block — layer weights in rows
+    0..n_layers-1, the lever multiplier in row n_layers).
 
     Mosaic cannot reshape/broadcast/select 16-bit vectors across sublanes
     and lanes, so every intermediate here runs in f32 — but each result is
     rounded back through the band dtype exactly where the gather path
     (patch.measure_scandots_batch) performs a bf16 op, so the folded bf16
     values are bit-identical: a bf16 mul/add equals the exact f32 op on
-    the same bf16 inputs followed by one rounding cast."""
+    the same bf16 inputs followed by one rounding cast.  The weight block
+    is stored in the band dtype, so _wcol's f32 view is already rounded."""
     dt = scratch.dtype
     f32 = jnp.float32
     vals = scratch[:, :, 0:BAND].astype(f32)
@@ -248,9 +251,7 @@ def _fold_floor(scratch, w_ref, have_lever, n_layers):
     if have_lever:
         lev = scratch[:, :, k * BAND:(k + 1) * BAND]
         k += 1
-        # NB: explicit positive index — a negative ref index (w_ref[:, -1])
-        # crashes the Mosaic layout pass (layout.h offsets assert)
-        w = _wcol(w_ref, w_ref.shape[1] - 1, vals.shape, dt)
+        w = _wcol(w_ref, n_layers, vals.shape, dt)       # lever row
         prod = (lev.astype(f32) * w).astype(dt)          # == dt multiply
         vals = (vals + prod.astype(f32)).astype(dt).astype(f32)  # == dt add
     if n_layers:
@@ -263,13 +264,33 @@ def _fold_floor(scratch, w_ref, have_lever, n_layers):
     return vals.astype(dt), k
 
 
+WROWS = 8   # weight-input sublane rows (>= max weight columns)
+
+
 def _wcol(w_ref, col, shape, dt):
-    """(EB,) weight column broadcast to (EB, P8, 64) — in f32 (Mosaic has
-    no 16-bit minor-dim reshape / 2-D broadcast), rounded through the band
-    dtype so the value matches the gather path's bf16 weight operand."""
-    w = w_ref[:, col].astype(jnp.float32)[:, None, None]
-    w = w.astype(dt).astype(jnp.float32)
+    """Weight column broadcast to (EB, P8, 64), already rounded through the
+    band dtype (the input block is stored in that dtype) so the value
+    matches the gather path's bf16 weight operand.
+
+    The weights arrive as a lane-resident (EB, WROWS, 128) block (built by
+    _weight_block) — slicing [:, col:col+1, 0:64] keeps a 3-D layout and
+    the broadcast touches SUBLANES ONLY: a per-env scalar (EB, 1, 1) ->
+    (EB, P8, 64) broadcast hits Mosaic's "Broadcast in both sublanes and
+    lanes" NotImplemented on the P8=80 bf16 scan-block shapes."""
+    w = w_ref[:, col:col + 1, 0:BAND].astype(jnp.float32)   # (EB, 1, 64)
     return jnp.broadcast_to(w, shape)
+
+
+def _weight_block(weights, n, dtype):
+    """Lane-resident (n, WROWS, 128) weight block in the band dtype (one
+    weight column per sublane row, replicated across lanes) — the form
+    _wcol can broadcast inside a Mosaic kernel."""
+    wb = jnp.zeros((n, WROWS, 128), dtype)
+    if weights is not None:
+        L = weights.shape[-1]
+        wb = wb.at[:, :L, :].set(
+            jnp.broadcast_to(weights.astype(dtype)[:, :, None], (n, L, 128)))
+    return wb
 
 
 class BandPatch(NamedTuple):
@@ -312,10 +333,7 @@ def extract_band_batch(grid: HeightGrid, centers_xy, size: int,
     x0, y0 = _window_origin(grid, centers_xy, size)
     x0a, yb, roff, coff = _dma_coords(x0, y0, size, al, Hp, nb, stride)
 
-    if weights is None:
-        w = jnp.zeros((n, 1), g2.dtype)
-    else:
-        w = weights.astype(g2.dtype)
+    w = _weight_block(weights, n, g2.dtype)
 
     def kernel(x0a_ref, yb_ref, g_ref, w_ref, out_ref, scratch, sems):
         _dma_loops(pl, pltpu, x0a_ref, yb_ref, g_ref, scratch, sems,
@@ -341,8 +359,8 @@ def extract_band_batch(grid: HeightGrid, centers_xy, size: int,
 
     interp = _mode() == "interpret"
     call = _band_call(g2, n, P8, KBo, g2.dtype, kernel, 2,
-                      extra_in=[pl.BlockSpec((EB, w.shape[1]),
-                                             lambda b, *_: (b, 0),
+                      extra_in=[pl.BlockSpec((EB, WROWS, 128),
+                                             lambda b, *_: (b, 0, 0),
                                              memory_space=pltpu.VMEM)],
                       interpret=interp)
     out = call(x0a, yb, g2, w)
@@ -392,7 +410,13 @@ def measure_scandots_band(grid: HeightGrid, centers_xy, size: int, weights,
     """Scandot heights via band DMA with in-kernel fold AND min(node,+x,+y):
     drop-in for patch.measure_scandots_batch (same bf16 arithmetic, parity
     asserted in tests/test_windows.py).  px/py (N, K) world coords ->
-    (N, K) f32 conservative floor heights."""
+    (N, K) f32 conservative floor heights.
+
+    The fold + min3 runs INSIDE the kernel (same _fold_floor machinery as
+    the contact path), so only the folded-and-min'd (N, P8, 128) block is
+    written back instead of the raw (N, P8, KB=256) surface stack — the
+    round-2 pure-DMA formulation cost ~3.6 ms/step @6144 on the padded
+    write + refold reads (tools/bench_env_ablate_tsc.py)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -407,58 +431,36 @@ def measure_scandots_band(grid: HeightGrid, centers_xy, size: int, weights,
         n_layers = weights.shape[-1] - (1 if have_lever else 0)
     n = centers_xy.shape[0]
     EB = _env_block(n)
+    KBo = 2 * BAND      # min3 result in lanes [0:64]; [64:128] lane padding
 
     x0, y0 = _window_origin(grid, centers_xy, size)
     x0a, yb, roff, coff = _dma_coords(x0, y0, size, al, Hp, nb, stride)
 
-    # Pure-DMA kernel (the measured microbench E formulation): the fold
-    # runs in XLA on the band output.  Mosaic cannot broadcast a per-env
-    # scalar across (sublane, lane) for these block shapes, and a per-env
-    # fold loop would serialize ~2 ms of VPU work — XLA's fold on the
-    # (N, P8, KB) output is a fused elementwise pass instead.
-    def kernel(x0a_ref, yb_ref, g_ref, out_ref, sems):
-        _dma_loops(pl, pltpu, x0a_ref, yb_ref, g_ref, out_ref, sems,
+    w = _weight_block(weights, n, g2.dtype)
+
+    def kernel(x0a_ref, yb_ref, g_ref, w_ref, out_ref, scratch, sems):
+        _dma_loops(pl, pltpu, x0a_ref, yb_ref, g_ref, scratch, sems,
                    EB, P8, al)
+        use_lever = have_lever and weights is not None
+        vals, _ = _fold_floor(scratch, w_ref, use_lever, n_layers)
+        # conservative min(node, +x, +y) — same arithmetic as the gather
+        # path (patch.measure_scandots_batch).  Sampled nodes stay below
+        # P8-1 rows / 63 cols in window coords (size-1 + max offset), so
+        # the duplicated last row/col is never read back.
+        vr = jnp.concatenate([vals[:, 1:, :], vals[:, -1:, :]], axis=1)
+        m = jnp.minimum(vals, vr)
+        vc = jnp.concatenate([vals[:, :, 1:], vals[:, :, -1:]], axis=2)
+        m = jnp.minimum(m, vc)
+        out_ref[:, :, 0:BAND] = m
+        out_ref[:, :, BAND:2 * BAND] = m    # lane padding (never sampled)
 
     interp = _mode() == "interpret"
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n // EB,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((EB, P8, KB), lambda b, *_: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((EB,))],
-    )
-    rows = pl.pallas_call(
-        kernel, grid_spec=grid_spec, interpret=interp,
-        out_shape=jax.ShapeDtypeStruct((n, P8, KB), g2.dtype),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(x0a, yb, g2)                                            # (N, P8, KB)
-
-    # fold + min3 — same arithmetic as the gather path
-    # (patch.measure_scandots_batch) on the banded rows
-    vals = rows[:, :, 0:BAND]
-    k = 1
-    lw = weights
-    if have_lever:
-        lev = rows[:, :, k * BAND:(k + 1) * BAND]
-        k += 1
-        if lw is not None:
-            vals = vals + lev * lw[:, -1, None, None].astype(vals.dtype)
-            lw = lw[:, :-1]
-    if grid.layer_id is not None:
-        lid = rows[:, :, k * BAND:(k + 1) * BAND]
-        if lw is not None and lw.shape[-1] > 0:
-            for l in range(lw.shape[-1]):
-                vals = vals + jnp.where(
-                    jnp.round(lid) == l + 1,
-                    lw[:, l, None, None].astype(vals.dtype), 0.0)
-    # conservative min(node, +x, +y); sampled nodes stay < size-1 in
-    # window coords so the clamped last row/col is never read back
-    m = jnp.minimum(vals, jnp.concatenate(
-        [vals[:, 1:], vals[:, -1:]], axis=1))
-    m = jnp.minimum(m, jnp.concatenate(
-        [vals[:, :, 1:], vals[:, :, -1:]], axis=2))           # (N, P8, 64)
+    call = _band_call(g2, n, P8, KBo, g2.dtype, kernel, 2,
+                      extra_in=[pl.BlockSpec((EB, WROWS, 128),
+                                             lambda b, *_: (b, 0, 0),
+                                             memory_space=pltpu.VMEM)],
+                      interpret=interp)
+    m = call(x0a, yb, g2, w)[:, :, 0:BAND]                    # (N, P8, 64)
 
     # one-hot floor-node sampling — same arithmetic as the gather path
     # (patch.measure_scandots_batch): bf16 exact 0/1 row selector on the

@@ -52,6 +52,33 @@ SEESAW_THETA_REST = SEESAW_THETA_MAX                  # approach (-x) end down
 SEESAW_INERTIA = 9.0   # plank about pivot [kg m^2] (~12 kg x 3 m board)
 
 
+def lever_arm(seesaw_pose, x, y):
+    """Analytic signed seesaw lever arm [m] at world (x, y): the exact
+    linear field the rasterized CourseWorld.lever grid is a nearest-neighbor
+    image of (same plank footprint, _seesaw above).  Replaces the per-point
+    full-grid gather (hf.sample_lever) on the env hot path — TPU gathers on
+    a 1800x1800 grid cost multiple ms per step (PERF_NOTES lesson 1).
+
+    seesaw_pose: (..., 5) [pivot_x, pivot_y, yaw, t_lo, t_hi] (t_lo/t_hi:
+    the along-plank extent surviving in the raster — later stamps can
+    truncate a plank end); x/y broadcastable to a common shape with
+    seesaw_pose[..., 0].  Returns the signed along-plank offset where
+    (x, y) is on the (surviving) plank, else 0.
+    """
+    import jax.numpy as jnp
+
+    px, py, yaw = seesaw_pose[..., 0], seesaw_pose[..., 1], seesaw_pose[..., 2]
+    t_lo, t_hi = seesaw_pose[..., 3], seesaw_pose[..., 4]
+    c, s = jnp.cos(yaw), jnp.sin(yaw)
+    dx, dy = x - px, y - py
+    along = c * dx + s * dy
+    perp = -s * dx + c * dy
+    on = ((along >= t_lo) & (along <= t_hi)
+          & (jnp.abs(along) <= SEESAW_HALF_LEN)
+          & (jnp.abs(perp) <= SEESAW_WIDTH / 2))
+    return jnp.where(on, along, 0.0)
+
+
 @dataclasses.dataclass(frozen=True)
 class ObstacleCfg:
     # tsc/legged_gym/envs/base/legged_robot_config.py:155-228
@@ -107,6 +134,14 @@ class CourseWorld(NamedTuple):
     obst_types: np.ndarray   # (courses, 6) int obstacle type per station
     obst_yaws: np.ndarray    # (courses, 6)
     robot_org: np.ndarray    # (courses, 3) start position (world)
+    seesaw_pose: np.ndarray  # (courses, 5) seesaw pivot world (x, y), yaw,
+    #                          and the along-plank extent [t_lo, t_hi]
+    #                          actually present in the raster (a later
+    #                          station's stamp can truncate a plank end).
+    #                          The analytic lever-arm source: the rasterized
+    #                          `lever` grid is its nearest-neighbor image;
+    #                          the env samples the analytic form clipped to
+    #                          the extent — no grid gather on the hot path
 
     @property
     def n_goals_total(self):
@@ -358,6 +393,7 @@ def generate(cfg: ObstacleCfg, seed: int = 0) -> CourseWorld:
     obst_yaws = np.zeros((cfg.courses, 6))
     course_origins = np.zeros((cfg.courses, 3))
     robot_org = np.zeros((cfg.courses, 3))
+    seesaw_pose = np.zeros((cfg.courses, 5))
     stations = np.asarray(cfg.frame_pos)             # (6, 2, 2)
     station_mid = stations.mean(axis=1)              # (6, 2)
     station_yaw = np.radians(np.asarray(cfg.frame_ang_deg))
@@ -393,6 +429,11 @@ def generate(cfg: ObstacleCfg, seed: int = 0) -> CourseWorld:
             goal_layer[ci, sl] = gl
             obst_types[ci, j] = t_idx
             obst_yaws[ci, j] = yaw
+            if name == "seesaw":
+                seesaw_pose[ci, :3] = [
+                    pos[0] + ox * cfg.horizontal_scale - cfg.border_size,
+                    pos[1] + oy * cfg.horizontal_scale - cfg.border_size,
+                    yaw]
 
         # border walls (obstacle.py:222-233): 0.1 m thick, around the cell
         t = int(0.1 / cfg.horizontal_scale)
@@ -401,6 +442,16 @@ def generate(cfg: ObstacleCfg, seed: int = 0) -> CourseWorld:
         cell.h[-t:, :] = bh
         cell.h[:, :t] = bh
         cell.h[:, -t:] = bh
+
+        # along-plank extent surviving later stamps (clips the analytic lever)
+        lx, ly = np.nonzero(cell.lever)
+        if len(lx):
+            wx = lx * cfg.horizontal_scale + ox * cfg.horizontal_scale - cfg.border_size
+            wy = ly * cfg.horizontal_scale + oy * cfg.horizontal_scale - cfg.border_size
+            c0, s0 = np.cos(seesaw_pose[ci, 2]), np.sin(seesaw_pose[ci, 2])
+            tt = c0 * (wx - seesaw_pose[ci, 0]) + s0 * (wy - seesaw_pose[ci, 1])
+            seesaw_pose[ci, 3] = tt.min()
+            seesaw_pose[ci, 4] = tt.max()
 
         box = (slice(ox, ox + n_x), slice(oy, oy + n_y))
         height[box] = cell.h
@@ -426,7 +477,8 @@ def generate(cfg: ObstacleCfg, seed: int = 0) -> CourseWorld:
         hscale=cfg.horizontal_scale,
         origin=(-cfg.border_size, -cfg.border_size),
         course_origins=course_origins, goals=goals, goal_layer=goal_layer,
-        obst_types=obst_types, obst_yaws=obst_yaws, robot_org=robot_org)
+        obst_types=obst_types, obst_yaws=obst_yaws, robot_org=robot_org,
+        seesaw_pose=seesaw_pose)
 
 
 def sample_obstacle_heights(cfg: ObstacleCfg, rng, n, lo_bar=None, hi_bar=None,

@@ -50,6 +50,46 @@ def test_world_gen_has_roofs_and_lever():
                                obst_gen.SEESAW_PIVOT_H, atol=1e-6)
 
 
+def test_analytic_lever_matches_raster_grid():
+    """obstacle.lever_arm (the env hot path) must reproduce the rasterized
+    lever grid on the plank interior: the raster is a nearest-neighbor
+    image of the same linear field, so bilinear samples agree to within a
+    node spacing of the plank edge."""
+    from agility_tpu.envs.tsc_config import tsc_smoke_cfg
+
+    cfg = tsc_smoke_cfg(num_envs=4, courses=2).obstacle
+    world = obst_gen.generate(cfg, seed=0)
+    grid = hf.from_numpy(world.height, world.hscale, world.origin,
+                         lever=world.lever)
+    rng = np.random.default_rng(1)
+    for ci in range(2):
+        pose = jnp.asarray(world.seesaw_pose[ci], jnp.float32)
+        px, py, yaw, t_lo, t_hi = world.seesaw_pose[ci]
+        assert not (px == 0 and py == 0), "seesaw pose not exported"
+        assert t_lo < -1.0 and t_hi > 1.0, "raster plank extent missing"
+        # interior points: strictly inside the surviving plank raster,
+        # away from edges/truncations where bilinear feathering differs
+        t = rng.uniform(t_lo + 3 * world.hscale,
+                        t_hi - 3 * world.hscale, 64)
+        w = rng.uniform(-obst_gen.SEESAW_WIDTH / 2 + 2 * world.hscale,
+                        obst_gen.SEESAW_WIDTH / 2 - 2 * world.hscale, 64)
+        x = px + np.cos(yaw) * t - np.sin(yaw) * w
+        y = py + np.sin(yaw) * t + np.cos(yaw) * w
+        analytic = obst_gen.lever_arm(pose[None, :], jnp.asarray(x),
+                                      jnp.asarray(y))
+        sampled = hf.sample_lever(grid, jnp.asarray(x), jnp.asarray(y))
+        # NN rotation of the raster quantizes to +-hscale; bilinear feathers
+        np.testing.assert_allclose(np.asarray(analytic), np.asarray(sampled),
+                                    atol=2.1 * world.hscale)
+        np.testing.assert_allclose(np.asarray(analytic), t, atol=1e-5)
+        # off the plank: zero
+        off = obst_gen.lever_arm(
+            pose[None, :],
+            jnp.asarray(px + np.cos(yaw) * (obst_gen.SEESAW_HALF_LEN + 0.3)),
+            jnp.asarray(py + np.sin(yaw) * (obst_gen.SEESAW_HALF_LEN + 0.3)))
+        assert float(jnp.abs(off).max()) == 0.0
+
+
 def test_seesaw_height_follows_theta():
     cfg = obst_gen.ObstacleCfg()
     cell = obst_gen._Cell(cfg)

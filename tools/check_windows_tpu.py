@@ -73,8 +73,13 @@ def main():
     print(f"scandot kernel compiled+ran in {time.time()-t0:.1f}s", flush=True)
     refs = jax.jit(lambda c, w, a, b: pt.measure_scandots_batch(
         grid._replace(band_scan=None), c, 56, w, a, b))(centers, weights, px, py)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(refs), atol=1e-6)
-    print("scandot parity: OK", flush=True)
+    # 1 bf16 ULP: the TPU gather path folds under xla_allow_excess_precision
+    # (f32 intermediates, no per-op bf16 rounds), the kernel rounds per op —
+    # interpret-mode parity vs the per-op-rounded semantics is exact
+    # (tests/test_windows.py); on-chip they differ by at most one rounding.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(refs), atol=0.008)
+    print("scandot parity: OK (<=1 bf16 ULP vs excess-precision gather)",
+          flush=True)
 
 
 if __name__ == "__main__":
