@@ -59,6 +59,29 @@ def sibling_state(model_path: str) -> Optional[str]:
     return p if os.path.exists(p) else None
 
 
+def prune(log_dir: str, prefix: str = "model", keep_latest: int = 5,
+          keep_every: int = 0) -> int:
+    """Delete old step-suffixed artifacts of `prefix`, keeping the newest
+    `keep_latest` and (if keep_every > 0) every step multiple of
+    `keep_every`.  Long runs save every 100 iterations (reference cadence,
+    bbc/…/legged_robot_config.py:224 save_interval); without rotation a
+    200k-iteration campaign writes thousands of files (full-state
+    artifacts are ~hundreds of MB each).  Returns the number removed."""
+    if not os.path.isdir(log_dir):
+        return 0
+    pat = re.compile(rf"{re.escape(prefix)}_(\d+)\.msgpack$")
+    steps = sorted(
+        (int(m.group(1)), m.group(0))
+        for m in (pat.match(n) for n in os.listdir(log_dir)) if m)
+    removed = 0
+    for step, name in steps[:-keep_latest] if keep_latest else steps:
+        if keep_every and step % keep_every == 0:
+            continue
+        os.remove(os.path.join(log_dir, name))
+        removed += 1
+    return removed
+
+
 def latest(log_dir: str, prefix: str = "model") -> Optional[str]:
     """Resolve the newest checkpoint like the reference's get_load_path
     (bbc/legged_gym/utils/helpers.py:78-99)."""

@@ -38,6 +38,11 @@ class OnPolicyRunner:
         self.writer = MetricWriter(log_dir) if log_dir else None
         self.save_interval = 100        # slim model checkpoint (reference cadence)
         self.full_save_interval = 1000  # full exact-resume state (big: ring + env)
+        # rotation for long campaigns: keep the newest few of each artifact
+        # plus slim milestones every keep_every steps (io/checkpoint.prune)
+        self.keep_latest_slim = 5
+        self.keep_every_slim = 5000
+        self.keep_latest_full = 2
         self.current_iteration = 0
         self.mesh = mesh
 
@@ -154,9 +159,13 @@ class OnPolicyRunner:
         full-state saves every 100 iters)."""
         path = ckpt.save(os.path.join(self.log_dir, "model.msgpack"),
                          jax.device_get(self.checkpoint_tree()), step=step)
+        ckpt.prune(self.log_dir, "model", keep_latest=self.keep_latest_slim,
+                   keep_every=self.keep_every_slim)
         if full:
             ckpt.save(os.path.join(self.log_dir, "state.msgpack"),
                       jax.device_get(self.full_state_tree()), step=step)
+            ckpt.prune(self.log_dir, "state",
+                       keep_latest=self.keep_latest_full)
         return path
 
     def load(self, path: str):

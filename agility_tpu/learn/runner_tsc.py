@@ -146,9 +146,11 @@ class TscOnPolicyRunner:
         accelerator (see runner.py:save)."""
         path = ckpt.save(os.path.join(self.log_dir, "model.msgpack"),
                          jax.device_get(self.checkpoint_tree()), step=step)
+        ckpt.prune(self.log_dir, "model", keep_latest=5, keep_every=5000)
         if full:
             ckpt.save(os.path.join(self.log_dir, "state.msgpack"),
                       jax.device_get(self.full_state_tree()), step=step)
+            ckpt.prune(self.log_dir, "state", keep_latest=2)
         return path
 
     def load(self, path: str):

@@ -80,3 +80,21 @@ def test_slim_fallback_restores_params(tmp_path):
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
     assert r2.current_iteration == 1
+
+
+def test_prune_keeps_latest_and_milestones(tmp_path):
+    """Rotation for long campaigns (io/checkpoint.prune): newest K stay,
+    keep_every milestones stay, everything else is removed."""
+    from agility_tpu.io import checkpoint as ckpt
+
+    for step in [100, 200, 5000, 5100, 9900, 10000, 10100, 10200]:
+        ckpt.save(str(tmp_path / "model.msgpack"), {"x": [1.0]}, step=step)
+    removed = ckpt.prune(str(tmp_path), "model", keep_latest=2, keep_every=5000)
+    left = sorted(p.name for p in tmp_path.iterdir())
+    assert left == ["model_10000.msgpack", "model_10100.msgpack",
+                    "model_10200.msgpack", "model_5000.msgpack"]
+    assert removed == 4
+    # un-suffixed artifacts and other prefixes are untouched
+    ckpt.save(str(tmp_path / "state.msgpack"), {"x": [1.0]}, step=77)
+    ckpt.prune(str(tmp_path), "model", keep_latest=1)
+    assert (tmp_path / "state_77.msgpack").exists()
