@@ -30,6 +30,11 @@ def get_args():
                    help="check rollout gait statistics against per-mode "
                         "bands derived from the mocap clips (behavior-parity "
                         "harness, io/gait.py); exits 1 on failure")
+    p.add_argument("--gait_bands", default=None,
+                   help="path to a bands artifact (tools/make_gait_bands.py; "
+                        "the committed real-clip bands live at "
+                        "agility_tpu/assets/gait_bands_real.json); implies "
+                        "--compare_gait and replaces the live-derived bands")
     p.add_argument("--interactive", action="store_true",
                    help="curses keyboard play: live telemetry panel, "
                         "W/S/A/D velocity, 1-5 mode, height keys "
@@ -38,6 +43,9 @@ def get_args():
 
 
 def main():
+    from agility_tpu.cli.common import enable_compile_cache
+
+    enable_compile_cache()
     args = get_args()
     import jax
     import jax.numpy as jnp
@@ -117,13 +125,20 @@ def main():
     if args.dump:
         np.savez(args.dump, **{k: np.stack(v) for k, v in traj.items()})
         print(f"trajectory written to {args.dump}")
-    if args.compare_gait:
+    if args.compare_gait or args.gait_bands:
+        import json
+
         from agility_tpu.io import gait
 
         # skip the transient: settle into the gait before measuring
         stats = gait.gait_stats(contact[100:] if len(contact) > 200 else contact,
                                 env.dt)
-        bands = gait.bands_from_motion(env.motion, mode_idx)
+        if args.gait_bands:
+            with open(args.gait_bands) as f:
+                stored = json.load(f)[args.mode]
+            bands = {k: tuple(v) for k, v in stored.items() if k != "clips"}
+        else:
+            bands = gait.bands_from_motion(env.motion, mode_idx)
         if not bands:
             print(f"no mocap clips for mode {args.mode}; cannot compare")
             raise SystemExit(2)

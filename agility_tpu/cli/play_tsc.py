@@ -26,6 +26,9 @@ def get_args():
 
 
 def main():
+    from agility_tpu.cli.common import enable_compile_cache
+
+    enable_compile_cache()
     args = get_args()
     import jax
     import jax.numpy as jnp

@@ -43,6 +43,9 @@ def get_args():
 
 
 def main():
+    from agility_tpu.cli.common import enable_compile_cache
+
+    enable_compile_cache()
     args = get_args()
 
     if args.multihost:

@@ -42,6 +42,9 @@ def main():
 
     import jax
 
+    from agility_tpu.cli.common import enable_compile_cache
+
+    enable_compile_cache()
     args_pre = get_args()
     if args_pre.multihost:
         jax.distributed.initialize()

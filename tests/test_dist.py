@@ -62,3 +62,35 @@ def test_sharded_train_iteration_runs_and_matches():
     flat_sh, _ = jax.flatten_util.ravel_pytree(ts2.ac_params)
     np.testing.assert_allclose(np.asarray(flat_sh), np.asarray(flat_ref),
                                rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_tsc_env_step_matches_single_device():
+    """Go2AgilityEnv (obstacle-course world, hierarchical bridge) under
+    ("env",) sharding: step outputs must match the single-device run
+    (VERDICT r3 item 5 — the TSC stack had no multi-device coverage)."""
+    from agility_tpu.envs.go2_agility import Go2AgilityEnv
+    from agility_tpu.envs.tsc_config import tsc_smoke_cfg
+
+    env = Go2AgilityEnv(tsc_smoke_cfg(num_envs=16, courses=2))
+    state = env.init_state(jax.random.PRNGKey(0))
+    hl = jax.random.normal(jax.random.PRNGKey(1), (16, 19)) * 0.1
+    set_cmd = jax.jit(env.set_commands)
+    step = jax.jit(env.step)
+
+    s_ref, _ = set_cmd(state, hl)
+    s_ref, out_ref = step(s_ref, jnp.zeros((16, 12)))
+
+    m = dist_mesh.make_mesh()
+    state_sh = dist_mesh.shard_env_tree(state, m, 16)
+    hl_sh = jax.device_put(hl, dist_mesh.env_sharding(m))
+    s_sh, _ = set_cmd(state_sh, hl_sh)
+    s_sh, out_sh = step(s_sh, jax.device_put(jnp.zeros((16, 12)),
+                                             dist_mesh.env_sharding(m)))
+
+    np.testing.assert_allclose(
+        np.asarray(out_sh.obs), np.asarray(out_ref.obs), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out_sh.rew), np.asarray(out_ref.rew), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(s_sh.sim.base_pos), np.asarray(s_ref.sim.base_pos), atol=1e-5)

@@ -4,7 +4,10 @@ Validates the harness mechanics on analytically-known contact signals and
 self-consistency against the synthetic mocap generator — the north-star
 proxy of BASELINE.md (match the reference's gait behavior within tolerance,
 bands derived from the mocap clips themselves)."""
+import os
+
 import numpy as np
+import pytest
 
 from agility_tpu.io import gait
 
@@ -74,3 +77,36 @@ def test_bands_from_synthetic_motion():
             assert gait.compare(stats, bands)["ok"]
     # and no bands for a mode with no clips
     assert gait.bands_from_motion(motion, 4) == {}
+
+
+REAL_MOCAP = "/root/reference/bbc/mocap_data/mocap_all_lb"
+
+
+@pytest.mark.skipif(not os.path.isdir(REAL_MOCAP),
+                    reason="reference mocap dataset not present")
+def test_real_clip_bands_match_committed_artifact():
+    """Bands derived from the 17 REAL labeled clips (the BASELINE north
+    star's target definition) must match the committed artifact
+    agility_tpu/assets/gait_bands_real.json (tools/make_gait_bands.py) —
+    a stale artifact fails here instead of silently mis-gating policies."""
+    import json
+
+    from agility_tpu.envs.config import MOCAP_CATEGORIES
+    from agility_tpu.envs import mocap
+
+    motion = mocap.load_dir(REAL_MOCAP, None, MOCAP_CATEGORIES)
+    assert motion.num_clips == 17
+    art_path = os.path.join(os.path.dirname(__file__), "..",
+                            "agility_tpu", "assets", "gait_bands_real.json")
+    with open(art_path) as f:
+        artifact = json.load(f)
+    for mi, mode in enumerate(MOCAP_CATEGORIES):
+        bands = gait.bands_from_motion(motion, mi)
+        assert bands, f"no {mode} clips"
+        stored = artifact[mode]
+        assert stored["clips"] == int((motion.label == mi).sum())
+        for key, (lo, hi) in bands.items():
+            s_lo, s_hi = stored[key]
+            assert lo < hi and np.isfinite([lo, hi]).all()
+            np.testing.assert_allclose([lo, hi], [s_lo, s_hi], atol=1e-6,
+                                       err_msg=f"{mode}/{key} artifact stale")
