@@ -231,6 +231,14 @@ class SimCfg:
     jacobi_iters: int = 5
     jacobi_relax: float = 0.6
     warm_start: bool = True    # (engine.EngineConfig.warm_start)
+    # contact band-stack dtype (physics/windows.py, multi-surface worlds
+    # only — the BBC terrain never attaches bands): bf16 halves the
+    # dominant window-DMA bytes of the TSC control step.  Height rounding
+    # is <= 0.4% relative (~2 mm on course obstacle scales, below the 5 mm
+    # heightfield quantization the reference trains on, tsc config
+    # vertical_scale 0.005); solver equivalence gated by
+    # tests/test_windows.py::test_contact_band_bf16_solver_precision.
+    contact_band_bf16: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -130,10 +130,9 @@ class Go2AgilityEnv:
                                   layer_id=world.layer_id, lever=world.lever,
                                   ceiling=world.ceil,
                                   ceiling_layer=world.ceil_layer)
-        # TSC scandots reach ~1.3 m from the base -> 56-cell scan windows
-        self.grid = windows.attach_bands(
-            self.grid, contact_size=self.engine_cfg.patch_size,
-            scan_size=max(self.engine_cfg.patch_size, 56))
+        # Scan-window sizing happens after the scandot grid is built (the
+        # static per-env measurement noise changes the extent); see the
+        # attach_bands call below the height-points block.
         self.x_edge = jnp.asarray(world.x_edge)
         rng = np.random.default_rng(cfg.seed)
         N = self.num_envs
@@ -209,6 +208,29 @@ class Go2AgilityEnv:
         self.height_points = f32(pts)                                     # (N, P, 3)
         self.n_height_points = gx.size
         self.center_height_idx = self.n_height_points // 2 + 1
+
+        # Scan window auto-sizing (PERF_NOTES r3 lever: gathered rows to
+        # actual sample support).  Centering the window on the scan grid's
+        # circumcenter instead of the base cuts the worst-case extent from
+        # |farthest point| (~1.21 m -> 56-cell windows, 80 DMA rows bf16)
+        # to the circumradius (~0.74 m -> 34 cells, 64 rows, and band
+        # stride 16 instead of 8 -> half the band-stack HBM).  Margin: 0.5
+        # cell center rounding + 1 cell for the min3 +x/+y tap + clip.
+        cen = pts[:, :, :2].mean(axis=1)                                  # (N, 2)
+        # worst case over yaw: a point at Euclidean distance r from the
+        # center can project fully onto either window axis
+        extent = (np.linalg.norm(pts[:, :, :2] - cen[:, None], axis=-1).max()
+                  / ob.horizontal_scale)
+        self.scan_center_local = f32(
+            np.concatenate([cen, np.zeros((N, 1))], -1))                  # (N, 3)
+        self.scan_size = max(
+            self.engine_cfg.patch_size,
+            2 * int(np.ceil(extent + 1.5)))
+        self.grid = windows.attach_bands(
+            self.grid, contact_size=self.engine_cfg.patch_size,
+            scan_size=self.scan_size,
+            contact_dtype=(jnp.bfloat16 if cfg.sim.contact_band_bf16
+                           else jnp.float32))
 
         # reward table
         scales = dataclasses.asdict(cfg.rewards.scales)
@@ -601,10 +623,13 @@ class Go2AgilityEnv:
         if self.engine_cfg.fast and self.engine_cfg.patch_size:
             from agility_tpu.physics import patch as pt
 
-            # TSC scandots reach ~1.3 m from the base at 0.05 m scale
-            size = max(self.engine_cfg.patch_size, 56)
+            # window centered on the yaw-rotated scan-grid circumcenter,
+            # sized to the grid's circumradius (self.scan_size, __init__) —
+            # every scandot stays strictly inside the window
+            centers = (qm.quat_apply_yaw(base_quat, self.scan_center_local)
+                       + base_pos)[:, :2]
             return pt.measure_scandots_batch(
-                self.grid, base_pos[:, :2], size, w,
+                self.grid, centers, self.scan_size, w,
                 pts[..., 0], pts[..., 1])
         return jax.vmap(
             lambda p, wi: hf.sample_height_min3(self.grid, p[:, 0], p[:, 1], wi)

@@ -12,6 +12,14 @@ the traced band arguments for the duration of the trace.
 
 When no bands are attached (CPU test runs, flat worlds) this is exactly
 `jax.jit(fn)`.
+
+INVARIANT — single-threaded tracing only: the wrapper temporarily mutates
+`env.grid` for the duration of the trace (restored in a finally block).
+Tracing two jit_with_world-wrapped functions of the same env concurrently
+(e.g. an async eval jit on a worker thread) would race on `env.grid` and
+can bake the band-argument tracers of one trace into the other.  All
+runners/CLIs trace sequentially on the main thread; keep it that way, or
+pass a copied env to the second tracer.
 """
 import jax
 
@@ -19,7 +27,7 @@ import jax
 def jit_with_world(fn, env):
     """`jax.jit(fn)` where `fn` closes over `env`, with env.grid's band
     stacks passed as jit arguments.  Returns a callable with `fn`'s own
-    signature."""
+    signature.  NOT thread-safe during trace (see module docstring)."""
     g = env.grid
     bands = (g.band_contact, g.band_scan)
     if all(b is None for b in bands):

@@ -107,12 +107,15 @@ def build_bands(grid: HeightGrid, size: int, dtype,
 
 
 def attach_bands(grid: HeightGrid, contact_size: int = 0,
-                 scan_size: int = 0) -> HeightGrid:
+                 scan_size: int = 0,
+                 contact_dtype=jnp.float32) -> HeightGrid:
     """Pre-build the band stacks on the grid (call once at env setup):
-    `band_contact` f32 with ceiling surfaces for the engine's contact
-    patch, `band_scan` bf16 floor-only for scandot measurement.  No-op
-    when the gather path is active (CPU test runs) — the stacks replicate
-    the world up to 8x and would never be read."""
+    `band_contact` (f32, or bf16 via `contact_dtype` — gated by the
+    solver-precision tests in tests/test_windows.py) with ceiling surfaces
+    for the engine's contact patch, `band_scan` bf16 floor-only for
+    scandot measurement.  No-op when the gather path is active (CPU test
+    runs) — the stacks replicate the world up to 8x and would never be
+    read."""
     if _mode() == "gather":
         return grid
     # Policy: only band multi-surface worlds.  Single-surface worlds (BBC
@@ -121,7 +124,7 @@ def attach_bands(grid: HeightGrid, contact_size: int = 0,
     # already cheap there.  Measured end-to-end @4096 envs v5e: 661k
     # env-steps/s gather vs 495k banded.  The win case is the multi-surface
     # TSC course world (K=5 contact / K=3 scan): 227k -> 333k @6144.
-    bc = build_bands(grid, contact_size, jnp.float32, True) \
+    bc = build_bands(grid, contact_size, contact_dtype, True) \
         if contact_size and len(_surfaces(grid, True)) >= 2 else None
     bs = build_bands(grid, scan_size, jnp.bfloat16, False) \
         if scan_size and len(_surfaces(grid, False)) >= 2 else None
@@ -346,16 +349,20 @@ def extract_band_batch(grid: HeightGrid, centers_xy, size: int,
             k += 1                       # skip the unused layer-id surface
         out_ref[:, :, 0:BAND] = vals
         if have_ceil:
-            ceil = scratch[:, :, k * BAND:(k + 1) * BAND]
+            dt = scratch.dtype
+            ceil = scratch[:, :, k * BAND:(k + 1) * BAND].astype(jnp.float32)
             k += 1
             if have_cl:
                 cl = jnp.round(
                     scratch[:, :, k * BAND:(k + 1) * BAND].astype(jnp.float32))
                 for l in range(n_layers):
-                    ceil = ceil + jnp.where(
-                        cl == l + 1,
-                        _wcol(w_ref, l, ceil.shape, ceil.dtype), 0.0)
-            out_ref[:, :, BAND:2 * BAND] = ceil
+                    add = jnp.where(cl == l + 1,
+                                    _wcol(w_ref, l, ceil.shape, dt), 0.0)
+                    # round through the band dtype per add (== dt add, the
+                    # _fold_floor cast discipline) so bf16 bands match the
+                    # gather path's arithmetic exactly
+                    ceil = (ceil + add).astype(dt).astype(jnp.float32)
+            out_ref[:, :, BAND:2 * BAND] = ceil.astype(dt)
 
     interp = _mode() == "interpret"
     call = _band_call(g2, n, P8, KBo, g2.dtype, kernel, 2,

@@ -118,3 +118,36 @@ def test_tsc_training_smoke(tmp_path):
     assert np.isfinite(np.asarray(flat)).all()
     p = runner.save(2)
     runner.load(p)
+
+
+def test_scan_window_covers_rotated_grid(env):
+    """Auto-sized scan windows (centered on the rotated scan-grid
+    circumcenter, env.scan_size cells) must cover every scandot at ANY
+    yaw: patch-path measurement == full-grid min3 fallback.  Guards the
+    56 -> scan_size row-count reduction (PERF_NOTES r3 lever)."""
+    from agility_tpu.core import quat as qm
+    from agility_tpu.physics import heightfield as hf
+    from agility_tpu.physics import patch as pt
+
+    # the 12x11 grid at 0.05 m: circumradius 0.744 m -> 34-cell windows
+    assert env.scan_size == 34
+
+    state = env.init_state(jax.random.PRNGKey(0))
+    N = env.num_envs
+    # adversarial yaws: axis-aligned and diagonal corner orientations
+    yaws = jnp.asarray([0.0, np.pi / 4, np.pi / 2, 2.4])[:N]
+    zero = jnp.zeros(N)
+    bq = qm.quat_from_euler_xyz(zero, zero, yaws)
+    base_pos = state.sim.base_pos
+
+    w = env._weights(state)
+    pts = qm.quat_apply_yaw(bq[:, None, :], env.height_points) + base_pos[:, None, :]
+    centers = (qm.quat_apply_yaw(bq, env.scan_center_local) + base_pos)[:, :2]
+    got = pt.measure_scandots_batch(
+        env.grid, centers, env.scan_size, w, pts[..., 0], pts[..., 1])
+    ref = jax.vmap(
+        lambda p, wi: hf.sample_height_min3(env.grid, p[:, 0], p[:, 1], wi)
+    )(pts, w)
+    # bf16 scan stack rounds heights (<1 cm at course scales); a clipped
+    # (uncovered) scandot would miss by decimeters
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0.02)

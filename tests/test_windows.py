@@ -181,3 +181,74 @@ def test_attach_bands_skips_single_surface_worlds(rng):
     g = win.attach_bands(hf.from_numpy(height, 0.05, (-1.0, -1.0)),
                          contact_size=24, scan_size=56)
     assert g.band_contact is None and g.band_scan is None
+
+
+def test_contact_band_bf16_matches_f32_within_rounding(rng):
+    """bf16 contact band stack (SimCfg.contact_band_bf16): folded window
+    values and bilinear height samples within bf16 rounding of the f32
+    band path (<= 1 cm on course-scale heights)."""
+    world = _layered_world(rng)
+    g32 = win.attach_bands(world, contact_size=24)
+    g16 = win.attach_bands(world, contact_size=24, contact_dtype=jnp.bfloat16)
+    assert g16.band_contact.dtype == jnp.bfloat16
+    centers = _centers(rng)
+    weights = jnp.asarray(rng.uniform(-0.3, 0.3, (N, 3)).astype(np.float32))
+    bp32 = win.extract_band_batch(g32, centers, 24, weights)
+    bp16 = win.extract_band_batch(g16, centers, 24, weights)
+    np.testing.assert_array_equal(np.asarray(bp16.x0), np.asarray(bp32.x0))
+
+    S = 9
+    qx = centers[:, 0][None] + jnp.asarray(
+        rng.uniform(-0.5, 0.5, (S, N)).astype(np.float32))
+    qy = centers[:, 1][None] + jnp.asarray(
+        rng.uniform(-0.5, 0.5, (S, N)).astype(np.float32))
+    h32, _ = win.band_sample_hn(
+        jnp.transpose(bp32.values, (1, 2, 0)), bp32.x0, bp32.y0, bp32.roff,
+        bp32.coff, world.origin, world.hscale, 24, qx, qy)
+    h16, _ = win.band_sample_hn(
+        jnp.transpose(bp16.values, (1, 2, 0)), bp16.x0, bp16.y0, bp16.roff,
+        bp16.coff, world.origin, world.hscale, 24, qx, qy)
+    np.testing.assert_allclose(np.asarray(h16), np.asarray(h32), atol=0.01)
+    c32 = win.band_sample_ceiling(
+        jnp.transpose(bp32.ceil, (1, 2, 0)), bp32.x0, bp32.y0, bp32.roff,
+        bp32.coff, world.origin, world.hscale, 24, qx, qy)[0]
+    c16 = win.band_sample_ceiling(
+        jnp.transpose(bp16.ceil, (1, 2, 0)), bp16.x0, bp16.y0, bp16.roff,
+        bp16.coff, world.origin, world.hscale, 24, qx, qy)[0]
+    np.testing.assert_allclose(np.asarray(c16), np.asarray(c32), atol=0.5)
+
+
+def test_contact_band_bf16_solver_precision(rng):
+    """Solver-precision gate for the bf16 contact band (PERF_NOTES r3:
+    'bf16 the 5-surface contact band needs a solver-precision check'):
+    stepping the full agility env (SoA engine + Pallas windows, interpret
+    mode) with bf16 vs f32 contact bands must produce near-identical
+    robot states over multiple control steps."""
+    import dataclasses
+
+    import jax
+
+    from agility_tpu.envs.go2_agility import Go2AgilityEnv
+    from agility_tpu.envs.tsc_config import tsc_smoke_cfg
+
+    cfg16 = tsc_smoke_cfg(num_envs=4, courses=2)
+    assert cfg16.sim.contact_band_bf16     # shipped default
+    cfg32 = dataclasses.replace(
+        cfg16, sim=dataclasses.replace(cfg16.sim, contact_band_bf16=False))
+    env16, env32 = Go2AgilityEnv(cfg16), Go2AgilityEnv(cfg32)
+    assert env16.grid.band_contact.dtype == jnp.bfloat16
+    assert env32.grid.band_contact.dtype == jnp.float32
+
+    s16 = env16.init_state(jax.random.PRNGKey(0))
+    s32 = env32.init_state(jax.random.PRNGKey(0))
+    acts = 0.2 * jax.random.normal(jax.random.PRNGKey(1), (4, 12))
+    step16 = jax.jit(env16.step)
+    step32 = jax.jit(env32.step)
+    for _ in range(5):
+        s16, o16 = step16(s16, acts)
+        s32, o32 = step32(s32, acts)
+    np.testing.assert_allclose(np.asarray(s16.sim.base_pos),
+                               np.asarray(s32.sim.base_pos), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(s16.sim.dof_pos),
+                               np.asarray(s32.sim.dof_pos), atol=2e-2)
+    assert np.isfinite(np.asarray(o16.rew)).all()
