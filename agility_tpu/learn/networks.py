@@ -114,6 +114,19 @@ class ActorCritic(nn.Module):
             [obs[..., s.prop], obs[..., s.explicit], latent, obs[..., s.command]], -1)
         return self.actor_head(self.actor_trunk(x))
 
+    def action_mean_switch(self, obs, hist_flag):
+        """action_mean with the DAgger latent switch as a TRACED scalar
+        (`hist_flag`): both latent encoders run (small), the trunk runs
+        once.  Bit-identical to selecting between the two action_mean
+        variants, at ~half the actor FLOPs — the rollout previously ran
+        the full actor twice per step and jnp.where'd the outputs."""
+        s = self.slices
+        latent = jnp.where(hist_flag, self._latent(obs, True),
+                           self._latent(obs, False))
+        x = jnp.concatenate(
+            [obs[..., s.prop], obs[..., s.explicit], latent, obs[..., s.command]], -1)
+        return self.actor_head(self.actor_trunk(x))
+
     def __call__(self, obs, critic_obs, hist_encoding: bool = False):
         # touch both latent paths so init materializes every submodule
         self._latent(obs, True)

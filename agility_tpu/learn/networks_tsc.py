@@ -80,6 +80,21 @@ class ActorCriticTSC(nn.Module):
         emb = self.embed(obs, hist_encoding, scandots_latent)
         return self.actor_d(emb), self.actor_c(emb), self.std_param
 
+    def heads_switch(self, obs, hist_flag, scandots_latent=None):
+        """heads() with the DAgger latent switch as a TRACED scalar: both
+        (small) latent encoders run, the scan encoder + trunk + heads run
+        once — bit-identical to jnp.where over the two heads() variants at
+        ~half the actor FLOPs (see networks.ActorCritic.action_mean_switch)."""
+        s = self.slices
+        scan_latent = (self.scan_encoder(obs[..., s.scan])
+                       if scandots_latent is None else scandots_latent)
+        latent = jnp.where(hist_flag, self._latent(obs, True),
+                           self._latent(obs, False))
+        x = jnp.concatenate(
+            [obs[..., s.prop], scan_latent, obs[..., s.explicit], latent], -1)
+        emb = self.actor_trunk(x)
+        return self.actor_d(emb), self.actor_c(emb), self.std_param
+
     def scan_latent(self, obs):
         return self.scan_encoder(obs[..., self.slices.scan])
 

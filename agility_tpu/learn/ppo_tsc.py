@@ -165,12 +165,8 @@ class TscPPO:
             obs_bbc = es.obs_bbc_buf
             est = self.estimator.apply(ts.est_params, obs[:, :57])
             obs_est = obs.at[:, s.explicit].set(est)
-            ld_h, mc_h, std = self.ac.apply(ts.ac_params, obs_est, method="heads",
-                                            hist_encoding=True)
-            ld_p, mc_p, _ = self.ac.apply(ts.ac_params, obs_est, method="heads",
-                                          hist_encoding=False)
-            logits_d = jnp.where(hist_encoding, ld_h, ld_p)
-            mean_c = jnp.where(hist_encoding, mc_h, mc_p)
+            logits_d, mean_c, std = self.ac.apply(
+                ts.ac_params, obs_est, hist_encoding, method="heads_switch")
             actions = tnets.hybrid_sample(k_act, logits_d, mean_c, std)
             logp_d, logp_c = tnets.hybrid_log_prob(logits_d, mean_c, std, actions)
             values = self.ac.apply(ts.ac_params, obs, method="value")

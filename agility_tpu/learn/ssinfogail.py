@@ -275,11 +275,8 @@ class SSInfoGAIL:
             # estimator swap-in for acting (gail.py:182-186)
             est = self.estimator.apply(ts.est_params, obs[:, s.prop])
             obs_est = obs.at[:, s.explicit].set(est)
-            mean_h = self.ac.apply(ts.ac_params, obs_est, method="action_mean",
-                                   hist_encoding=True)
-            mean_p = self.ac.apply(ts.ac_params, obs_est, method="action_mean",
-                                   hist_encoding=False)
-            mean = jnp.where(hist_encoding, mean_h, mean_p)
+            mean = self.ac.apply(ts.ac_params, obs_est, hist_encoding,
+                                 method="action_mean_switch")
             std = ts.ac_params["params"]["std"]
             actions = mean + std * jax.random.normal(k_act, mean.shape)
             logp = nets.gaussian_log_prob(mean, std, actions)

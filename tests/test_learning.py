@@ -49,3 +49,39 @@ def test_reward_increases_flat_walk():
     late = r_t[-20:].mean()
     assert late > early * 4.0, (
         f"task reward did not increase: early={early:.5f} late={late:.5f}\n{r_t}")
+
+
+def test_switched_actor_matches_two_pass():
+    """action_mean_switch / heads_switch (single-trunk DAgger switch on a
+    traced flag) must be bit-identical to the two-pass + select form they
+    replaced in the rollouts."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from agility_tpu.learn import networks as nets
+    from agility_tpu.learn import networks_tsc as tnets
+
+    s = nets.ObsSlices(57, 4, 29, 10, 11)
+    ac = nets.ActorCritic(num_actions=12, slices=s)
+    obs0 = jnp.zeros((1, s.total))
+    params = ac.init(jax.random.PRNGKey(0), obs0, obs0)
+    obs = jax.random.normal(jax.random.PRNGKey(1), (8, s.total))
+    for flag in (True, False):
+        ref = ac.apply(params, obs, method="action_mean", hist_encoding=flag)
+        got = ac.apply(params, obs, jnp.asarray(flag), method="action_mean_switch")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    ts = tnets.TscObsSlices()
+    tac = tnets.ActorCriticTSC(slices=ts)
+    tobs0 = jnp.zeros((1, ts.total))
+    tparams = tac.init(jax.random.PRNGKey(0), tobs0, tobs0)
+    tobs = jax.random.normal(jax.random.PRNGKey(2), (8, ts.total))
+    for flag in (True, False):
+        d_ref, c_ref, std_ref = tac.apply(tparams, tobs, method="heads",
+                                          hist_encoding=flag)
+        d, c, std = tac.apply(tparams, tobs, jnp.asarray(flag),
+                              method="heads_switch")
+        np.testing.assert_array_equal(np.asarray(d), np.asarray(d_ref))
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(c_ref))
+        np.testing.assert_array_equal(np.asarray(std), np.asarray(std_ref))
