@@ -184,8 +184,15 @@ def disc_obs_from_frames(frames: jnp.ndarray, default_dof_pos, obs_scales) -> jn
     q = frames[:, ROOT_ROT]
     roll, pitch, _ = qm.euler_from_quat(q)
     root_h = frames[:, 2:3]
-    lin = frames[:, LIN_VEL] * obs_scales.lin_vel_dist
-    ang = frames[:, ANG_VEL] * obs_scales.ang_vel_dist
+    # clip velocities are stored world-frame; the reference rotates them
+    # into the BASE frame before building expert features
+    # (motion_loader.py:210-212 quat_rotate_inverse), matching the policy
+    # side's base-frame velocities (legged_robot.py:137-141).  Feeding
+    # world-frame expert velocities makes expert/policy trivially
+    # separable: disc accuracy pins at ~1.0 and the style reward dies
+    # (observed round 4: rollout/r_i 0.015 -> 0.0004 by 10k iterations).
+    lin = qm.quat_rotate_inverse(q, frames[:, LIN_VEL]) * obs_scales.lin_vel_dist
+    ang = qm.quat_rotate_inverse(q, frames[:, ANG_VEL]) * obs_scales.ang_vel_dist
     jp = (frames[:, JOINT_POS] - default_dof_pos) * obs_scales.dof_pos
     jv = frames[:, JOINT_VEL] * obs_scales.dof_vel
     toes = frames[:, TOE_POS].reshape(-1, 4, 3)

@@ -28,8 +28,26 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (the nightly profile; default run "
+             "deselects them to keep the edit-test loop under ~10 min)")
+
+
 def pytest_configure(config):
-    config.addinivalue_line("markers", "slow: long-running CPU learning test")
+    config.addinivalue_line(
+        "markers", "slow: long-running test (>~45 s CPU) — deselected by "
+                   "default, run with --runslow or -m slow")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or config.getoption("-m"):
+        return
+    skip = pytest.mark.skip(reason="slow: run with --runslow (nightly)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture

@@ -7,6 +7,7 @@ ring, learning/priv-reg counters, task_obs_weight, PRNG key, env state and
 the disc window — so save -> load -> train continues BIT-IDENTICALLY to
 uninterrupted training.
 """
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -34,6 +35,7 @@ def _run_iters(runner, n):
     return out
 
 
+@pytest.mark.slow
 def test_resume_is_bit_identical(tmp_path):
     log_dir = str(tmp_path / "run")
     env = Go2LocomotionEnv(smoke_cfg(num_envs=8))
@@ -61,6 +63,7 @@ def test_resume_is_bit_identical(tmp_path):
                 err_msg=f"metric {k} diverged after resume")
 
 
+@pytest.mark.slow
 def test_slim_fallback_restores_params(tmp_path):
     """A model_<step>.msgpack without its state sibling still restores the
     learned parameters (pre-full-state runs, and the BBC->TSC handoff)."""

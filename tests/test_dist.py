@@ -11,6 +11,7 @@ from agility_tpu.envs.go2_locomotion import Go2LocomotionEnv
 from agility_tpu.learn.ssinfogail import AlgoCfg, SSInfoGAIL
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_env_step_matches_single_device():
     env = Go2LocomotionEnv(smoke_cfg(num_envs=16))
@@ -34,6 +35,7 @@ def test_sharded_env_step_matches_single_device():
         np.asarray(s_sh.sim.base_pos), np.asarray(s_ref.sim.base_pos), atol=1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_train_iteration_runs_and_matches():
     env = Go2LocomotionEnv(smoke_cfg(num_envs=16))
@@ -64,6 +66,7 @@ def test_sharded_train_iteration_runs_and_matches():
                                rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_tsc_env_step_matches_single_device():
     """Go2AgilityEnv (obstacle-course world, hierarchical bridge) under

@@ -120,3 +120,48 @@ def test_recovery_init():
     ratio = np.asarray(es2.sim.dof_pos)[:, nz] / d[nz]
     assert ratio.min() >= 0.5 - 1e-5 and ratio.max() <= 2.0 + 1e-5
     assert np.abs(np.asarray(es2.sim.u[:, :6])).max() <= 0.5 + 1e-5
+
+
+def test_expert_disc_features_match_env_features():
+    """Expert-side disc features (mocap.disc_obs_from_frames) must be
+    computed in the SAME frames as the policy side (compute_disc_features)
+    — in particular base-frame velocities (reference motion_loader.py:
+    210-212 quat_rotate_inverse vs legged_robot.py:137-141).  A frame
+    convention mismatch makes expert/policy trivially separable and kills
+    the style reward (disc accuracy pins at 1.0); this builds a mocap
+    frame vector FROM a live sim state and asserts both feature paths
+    agree."""
+    from agility_tpu.envs import mocap
+    from agility_tpu.envs.config import smoke_cfg
+    from agility_tpu.envs.go2_locomotion import Go2LocomotionEnv, compute_disc_features
+    from agility_tpu.physics import soa
+
+    env = Go2LocomotionEnv(smoke_cfg(num_envs=4))
+    state = env.init_state(jax.random.PRNGKey(0))
+    # a dynamically interesting state: random joint velocities + base twist
+    # and a definitely-non-identity base orientation (so world-frame vs
+    # base-frame mistakes cannot cancel)
+    from agility_tpu.core import quat as qm
+
+    yaw = jnp.asarray([0.3, 1.2, -2.0, 2.9])
+    roll = jnp.asarray([0.05, -0.1, 0.2, 0.0])
+    sim = state.sim._replace(
+        base_quat=qm.quat_from_euler_xyz(roll, jnp.zeros(4), yaw),
+        u=0.5 * jax.random.normal(jax.random.PRNGKey(1), state.sim.u.shape))
+    toe_w = soa.body_positions(env.mc, sim, env.feet_idx)        # (N, 4, 3)
+
+    frames = jnp.concatenate([
+        sim.base_pos, sim.base_quat, sim.dof_pos,
+        toe_w.reshape(4, 12), sim.u[:, :3], sim.u[:, 3:6], sim.u[:, 6:18],
+    ], axis=-1)
+    assert frames.shape[-1] == mocap.FRAME_DIM
+
+    osc = env.cfg.normalization.obs_scales
+    expert_side = mocap.disc_obs_from_frames(frames, env.mc.default_dof_pos, osc)
+
+    contact = toe_w[:, :, 2] < 0.025
+    root_h = sim.base_pos[:, 2:3]
+    policy_side = compute_disc_features(
+        env.mc, env.feet_idx, osc, sim, contact, root_h)
+    np.testing.assert_allclose(np.asarray(expert_side),
+                               np.asarray(policy_side), atol=1e-5)

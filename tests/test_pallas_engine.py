@@ -15,6 +15,7 @@ MC = ModelConsts.from_model(MODEL)
 GRID = hf.flat_grid()
 
 
+@pytest.mark.slow
 def test_pallas_control_step_matches_vmap(monkeypatch):
     from jax.experimental import pallas as pl
 

@@ -5,6 +5,7 @@ Every stage of physics/soa.py must reproduce the vmapped engine
 composite-CRBA mass solve, bias forces, contact detection, the Jacobi
 fixed point, and the full decimated control step.
 """
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -113,6 +114,7 @@ def _full_step_pair(rng, grid, params, n=N):
     return out_soa, out_ref
 
 
+@pytest.mark.slow
 def test_control_step_matches_oracle_rough(rng):
     hmap = (0.08 * rng.normal(size=(48, 48))).astype(np.float32)
     grid = hf.from_numpy(hmap, 0.05, origin_xy=(-1.2, -1.2))
@@ -128,6 +130,7 @@ def test_control_step_matches_oracle_rough(rng):
     _assert_step_close(out_soa, out_ref)
 
 
+@pytest.mark.slow
 def test_control_step_matches_oracle_flat(rng):
     params = eng.EnvParams(
         friction=jnp.ones(N), kp_scale=jnp.ones((N, 12)),
@@ -156,6 +159,7 @@ def _assert_step_close(out_soa, out_ref):
     assert np.isfinite(np.asarray(mbf)).all()
 
 
+@pytest.mark.slow
 def test_soa_stand_is_stable():
     cfg = eng.EngineConfig(soa=True)
     n = 8
@@ -182,6 +186,7 @@ def test_soa_stand_is_stable():
     assert float(jnp.abs(s.u[:, :6]).max()) < 0.15
 
 
+@pytest.mark.slow
 def test_ceiling_contact_matches_oracle(rng):
     """SoA vs vmap-fastpath parity on an overhang world: both paths must
     produce the same ceiling contact response (fastpath.detect_T ceiling
@@ -255,6 +260,7 @@ def _warm_vs_cold(rng, grid, z=0.32, atol_pos=3e-3, atol_dof=6e-3,
     return mbf
 
 
+@pytest.mark.slow
 def test_warm_start_matches_cold_solution(rng):
     """warm_start=True with half the Jacobi sweeps must land on the same
     contact solution the cold 10-sweep solve does (it shares the fixed
@@ -262,6 +268,7 @@ def test_warm_start_matches_cold_solution(rng):
     iterate), and a standing robot must stay stable under it."""
     _warm_vs_cold(rng, hf.flat_grid())
 
+@pytest.mark.slow
 def test_warm_start_matches_cold_rough(rng):
     """Warm-vs-cold equivalence where contact sets churn: rough terrain
     constantly re-projects stale impulses as feet gain/lose contact, so the
@@ -273,6 +280,7 @@ def test_warm_start_matches_cold_rough(rng):
     _warm_vs_cold(rng, grid, z=0.40, atol_pos=8e-3, atol_dof=2e-2, atol_u=0.3)
 
 
+@pytest.mark.slow
 def test_warm_start_matches_cold_ceiling(rng):
     """Warm-vs-cold equivalence with overhang (ceiling) contact rows active:
     the carried impulse vector covers the extra ceiling contacts too and must
@@ -321,6 +329,7 @@ def test_warm_start_fallback_restores_cold_iters(rng):
                                np.asarray(out_cold[0].u), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_warm_start_long_horizon_stable():
     grid = hf.flat_grid()
     warm = eng.EngineConfig(warm_start=True, jacobi_iters=5)

@@ -6,6 +6,7 @@ terminal states captured in reset_idx).  Our StepOutput.terminal_disc_obs
 must therefore equal the disc features of the post-physics, PRE-reset state
 of the same step — not the previous step's cached observation.
 """
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -28,6 +29,7 @@ def _drive_to_reset(env, n=8, scale=3.0, max_steps=300):
     raise AssertionError("no env terminated")
 
 
+@pytest.mark.slow
 def test_terminal_disc_obs_is_pre_reset_state():
     env = Go2LocomotionEnv(smoke_cfg(num_envs=8))
     prev, acts, out = _drive_to_reset(env, 8)

@@ -45,6 +45,7 @@ def test_raycast_wall():
     assert 1.0 < center < 1.35, center
 
 
+@pytest.mark.slow
 def test_vision_distillation_smoke():
     cfg = tsc_smoke_cfg(num_envs=2, courses=1)
     cfg = cfg.__class__(**{**cfg.__dict__, "depth": DepthCfg(
@@ -65,6 +66,7 @@ def test_vision_distillation_smoke():
     assert np.isfinite(np.asarray(flat)).all()
 
 
+@pytest.mark.slow
 def test_vision_student_catches_teacher():
     """Distillation makes progress at toy scale: over a dozen iterations on
     a fixed course the student's imitation loss (discrete + continuous

@@ -218,6 +218,7 @@ def test_contact_band_bf16_matches_f32_within_rounding(rng):
     np.testing.assert_allclose(np.asarray(c16), np.asarray(c32), atol=0.5)
 
 
+@pytest.mark.slow
 def test_contact_band_bf16_solver_precision(rng):
     """Solver-precision gate for the bf16 contact band (PERF_NOTES r3:
     'bf16 the 5-surface contact band needs a solver-precision check'):
