@@ -26,6 +26,14 @@ def get_args():
     p.add_argument("--use_camera", action="store_true",
                    help="student phase: depth-camera distillation")
     p.add_argument("--obstacle_curriculum", action="store_true")
+    # reference teacher-training flags (README.md:57: --randomize_start
+    # --randomize_base_mass --randomize_base_com --push_robots)
+    p.add_argument("--randomize_start", action="store_true",
+                   help="spawn reset envs at a random station's approach "
+                        "goal (reference obstacle.randomize_start)")
+    p.add_argument("--randomize_base_mass", action="store_true")
+    p.add_argument("--randomize_base_com", action="store_true")
+    p.add_argument("--push_robots", action="store_true")
     p.add_argument("--log_root", default="logs")
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--debug", action="store_true", help="64 envs, tiny world")
@@ -80,6 +88,16 @@ def main():
     if args.obstacle_curriculum:
         cfg = dataclasses.replace(
             cfg, obstacle=dataclasses.replace(cfg.obstacle, curriculum=True))
+    if args.randomize_start:
+        cfg = dataclasses.replace(
+            cfg, env=dataclasses.replace(cfg.env, randomize_start=True))
+    dr = {}
+    for flag in ("randomize_base_mass", "randomize_base_com", "push_robots"):
+        if getattr(args, flag):
+            dr[flag] = True
+    if dr:
+        cfg = dataclasses.replace(
+            cfg, domain_rand=dataclasses.replace(cfg.domain_rand, **dr))
 
     log_dir = os.path.join(args.log_root, args.proj_name, args.exptid)
     env = Go2AgilityEnv(cfg)

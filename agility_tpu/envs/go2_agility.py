@@ -140,6 +140,7 @@ class Go2AgilityEnv:
         self.env_goals = jnp.asarray(world.goals[self.course_id], jnp.float32)       # (N, G, 3)
         self.goal_layer = jnp.asarray(world.goal_layer[self.course_id])              # (N, G)
         self.obst_types = jnp.asarray(world.obst_types[self.course_id])              # (N, 6)
+        self.obst_yaws = jnp.asarray(world.obst_yaws[self.course_id], jnp.float32)   # (N, 6)
         self.robot_org = jnp.asarray(world.robot_org[self.course_id], jnp.float32)   # (N, 3)
         self.n_goals_total = world.n_goals_total
         self.num_goals = cfg.obstacle.num_goals
@@ -565,7 +566,7 @@ class Go2AgilityEnv:
     def _reset_where(self, state: AgilityState, mask, key) -> AgilityState:
         cfg = self.cfg
         N = self.num_envs
-        ks = jax.random.split(key, 7)
+        ks = jax.random.split(key, 8)
         # start pose: course robot_org + xy/yaw noise (tsc config :42-53)
         e = cfg.env
         dx = jax.random.uniform(ks[0], (N,), minval=-e.rand_x_range,
@@ -575,9 +576,28 @@ class Go2AgilityEnv:
         dyaw = jax.random.uniform(ks[2], (N,), minval=-e.rand_yaw_range,
                                   maxval=e.rand_yaw_range) * e.randomize_start_yaw
         # course heading: start facing +y (the first station runs along +y)
-        yaw0 = jnp.pi / 2 + dyaw
-        base_pos = self.robot_org + jnp.stack(
-            [dx, dy, jnp.full((N,), cfg.init_state.pos[2])], axis=-1)
+        # course heading: start facing +y (the first station runs along +y)
+        if e.randomize_start:
+            # spawn at a random station's approach goal with the station's
+            # heading (reference tsc legged_robot.py:367-375: cur_goal_idx
+            # = obst_idx * num_goals, pos = that goal, ang = station yaw)
+            n_obst = self.obst_types.shape[1]
+            obst_idx = jax.random.randint(ks[7], (N,), 0, n_obst)
+            goal_idx = obst_idx * cfg.obstacle.num_goals
+            spawn_goal = jnp.take_along_axis(
+                self.env_goals, goal_idx[:, None, None].repeat(3, axis=2),
+                axis=1)[:, 0]                                     # (N, 3)
+            yaw0 = jnp.take_along_axis(self.obst_yaws, obst_idx[:, None],
+                                       axis=1)[:, 0] + dyaw
+            base_pos = jnp.stack(
+                [spawn_goal[:, 0] + dx, spawn_goal[:, 1] + dy,
+                 jnp.full((N,), cfg.init_state.pos[2])], axis=-1)
+        else:
+            obst_idx = jnp.zeros((N,), jnp.int32)
+            goal_idx = jnp.zeros((N,), jnp.int32)
+            yaw0 = jnp.pi / 2 + dyaw
+            base_pos = self.robot_org + jnp.stack(
+                [dx, dy, jnp.full((N,), cfg.init_state.pos[2])], axis=-1)
         base_quat = qm.quat_from_euler_xyz(
             jnp.zeros(N), jnp.zeros(N), yaw0)
         dof_pos = self.mc.default_dof_pos * jax.random.uniform(
@@ -610,7 +630,7 @@ class Go2AgilityEnv:
             torques_org=zero(state.torques_org),
             last_torques_org=zero(state.last_torques_org),
             obs_history=zero(state.obs_history),
-            cur_goal_idx=jnp.where(mask, 0, state.cur_goal_idx),
+            cur_goal_idx=jnp.where(mask, goal_idx, state.cur_goal_idx),
             reach_goal_timer=zero(state.reach_goal_timer),
             episode_sums=zero(state.episode_sums),
             key=ks[5])

@@ -34,6 +34,12 @@ class TscEnvCfg:
     reach_goal_delay: float = 0.02
     leave_goal_threshold: float = 4.0
     root_height_obs: bool = True
+    # spawn reset envs at a RANDOM station's approach goal with the
+    # station's heading (reference obstacle.randomize_start,
+    # tsc legged_robot.py:367-375 — on via the --randomize_start training
+    # flag): uniform obstacle coverage instead of always starting the
+    # course from station 0
+    randomize_start: bool = False
     randomize_start_yaw: bool = True
     rand_yaw_range: float = 0.2
     randomize_start_x: bool = True

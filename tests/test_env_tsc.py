@@ -151,3 +151,31 @@ def test_scan_window_covers_rotated_grid(env):
     # bf16 scan stack rounds heights (<1 cm at course scales); a clipped
     # (uncovered) scandot would miss by decimeters
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=0.02)
+
+
+def test_randomize_start_spawns_at_stations():
+    """randomize_start (reference tsc legged_robot.py:367-375): reset envs
+    spawn at a random station's approach goal with the station heading and
+    cur_goal_idx = station * num_goals."""
+    import dataclasses
+
+    from agility_tpu.envs.tsc_config import tsc_smoke_cfg
+    from agility_tpu.envs.go2_agility import Go2AgilityEnv
+
+    cfg = tsc_smoke_cfg(num_envs=32, courses=2)
+    cfg = dataclasses.replace(
+        cfg, env=dataclasses.replace(cfg.env, randomize_start=True))
+    env = Go2AgilityEnv(cfg)
+    state = env.init_state(jax.random.PRNGKey(3))
+    gi = np.asarray(state.cur_goal_idx)
+    ng = cfg.obstacle.num_goals
+    assert (gi % ng == 0).all()
+    assert len(np.unique(gi // ng)) >= 3      # several stations hit
+    # spawn xy near the chosen goal (within the start noise)
+    goals = np.asarray(env.env_goals)
+    chosen = goals[np.arange(32), gi]
+    pos = np.asarray(state.sim.base_pos)
+    assert np.abs(pos[:, :2] - chosen[:, :2]).max() < 0.35
+    # stepping from a station spawn stays finite
+    s2, out = jax.jit(env.step)(state, jnp.zeros((32, 12)))
+    assert np.isfinite(np.asarray(out.obs)).all()
