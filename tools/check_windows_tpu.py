@@ -34,52 +34,71 @@ def main():
     ceil[150:200, 100:200] = 0.45
     ceil_l = np.zeros((H, W), np.int8)
     ceil_l[150:200, 150:200] = 1
-    grid = hf.from_numpy(height, 0.05, (-1.0, -1.0), layer_id=layer_id,
+    base = hf.from_numpy(height, 0.05, (-1.0, -1.0), layer_id=layer_id,
                          lever=lever, ceiling=ceil, ceiling_layer=ceil_l)
-    grid = win.attach_bands(grid, contact_size=24, scan_size=56)
-    assert grid.band_contact is not None and grid.band_scan is not None
 
     cx = rng.uniform(0.0, H * 0.05 - 2.5, N).astype(np.float32) - 1.0
     cy = rng.uniform(0.0, W * 0.05 - 2.5, N).astype(np.float32) - 1.0
     centers = jnp.asarray(np.stack([cx, cy], -1))
     weights = jnp.asarray(rng.uniform(-0.3, 0.3, (N, 3)).astype(np.float32))
 
-    # ---- contact extraction ----
-    t0 = time.time()
-    bp = jax.jit(lambda c, w: win.extract_band_batch(grid, c, 24, w))(
-        centers, weights)
-    jax.block_until_ready(bp.values)
-    print(f"contact kernel compiled+ran in {time.time()-t0:.1f}s", flush=True)
-    ref = jax.jit(lambda c, w: pt.extract_batch(grid, c, 24, w))(
-        centers, weights)
-    roff = np.asarray(bp.roff); coff = np.asarray(bp.coff)
-    vals = np.asarray(bp.values); ceilv = np.asarray(bp.ceil)
-    rv = np.asarray(ref.values); rc = np.asarray(ref.ceil)
-    for i in range(0, N, max(N // 16, 1)):
-        np.testing.assert_allclose(
-            vals[i, roff[i]:roff[i]+24, coff[i]:coff[i]+24], rv[i], atol=1e-6)
-        np.testing.assert_allclose(
-            ceilv[i, roff[i]:roff[i]+24, coff[i]:coff[i]+24], rc[i], atol=1e-6)
-    print("contact parity: OK", flush=True)
+    # ---- contact extraction: production size 32 in both band dtypes
+    # (f32, and the bf16 shipped default — SimCfg.contact_band_bf16) ----
+    for dtype, atol in ((jnp.float32, 1e-6), (jnp.bfloat16, 0.01)):
+        csz = 32
+        grid = win.attach_bands(base, contact_size=csz, contact_dtype=dtype)
+        assert grid.band_contact is not None
+        t0 = time.time()
+        bp = jax.jit(lambda c, w: win.extract_band_batch(grid, c, csz, w))(
+            centers, weights)
+        jax.block_until_ready(bp.values)
+        print(f"contact kernel [{jnp.dtype(dtype).name}] compiled+ran in "
+              f"{time.time()-t0:.1f}s", flush=True)
+        ref = jax.jit(lambda c, w: pt.extract_batch(grid, c, csz, w))(
+            centers, weights)
+        roff = np.asarray(bp.roff); coff = np.asarray(bp.coff)
+        vals = np.asarray(bp.values, np.float32)
+        ceilv = np.asarray(bp.ceil, np.float32)
+        rv = np.asarray(ref.values); rc = np.asarray(ref.ceil)
+        err = 0.0
+        for i in range(0, N, max(N // 16, 1)):
+            got_v = vals[i, roff[i]:roff[i]+csz, coff[i]:coff[i]+csz]
+            got_c = ceilv[i, roff[i]:roff[i]+csz, coff[i]:coff[i]+csz]
+            err = max(err, np.abs(got_v - rv[i]).max())
+            np.testing.assert_allclose(got_v, rv[i], atol=atol)
+            np.testing.assert_allclose(got_c, rc[i], atol=max(atol * 50, 1e-6))
+        print(f"contact parity [{jnp.dtype(dtype).name}]: OK "
+              f"(max|err| {err:.2e} <= {atol})", flush=True)
 
-    # ---- scandots ----
+    # ---- scandots: production auto-size 34 (circumcenter windows) and the
+    # legacy 56 ----
     K = 132
-    px = centers[:, 0:1] + jnp.asarray(rng.uniform(-1.3, 1.3, (N, K)).astype(np.float32))
-    py = centers[:, 1:2] + jnp.asarray(rng.uniform(-1.3, 1.3, (N, K)).astype(np.float32))
-    t0 = time.time()
-    got = jax.jit(lambda c, w, a, b: win.measure_scandots_band(grid, c, 56, w, a, b))(
-        centers, weights, px, py)
-    jax.block_until_ready(got)
-    print(f"scandot kernel compiled+ran in {time.time()-t0:.1f}s", flush=True)
-    refs = jax.jit(lambda c, w, a, b: pt.measure_scandots_batch(
-        grid._replace(band_scan=None), c, 56, w, a, b))(centers, weights, px, py)
-    # 1 bf16 ULP: the TPU gather path folds under xla_allow_excess_precision
-    # (f32 intermediates, no per-op bf16 rounds), the kernel rounds per op —
-    # interpret-mode parity vs the per-op-rounded semantics is exact
-    # (tests/test_windows.py); on-chip they differ by at most one rounding.
-    np.testing.assert_allclose(np.asarray(got), np.asarray(refs), atol=0.008)
-    print("scandot parity: OK (<=1 bf16 ULP vs excess-precision gather)",
-          flush=True)
+    for ssz, spread in ((34, 0.72), (56, 1.3)):
+        grid = win.attach_bands(base, scan_size=ssz)
+        assert grid.band_scan is not None
+        px = centers[:, 0:1] + jnp.asarray(
+            rng.uniform(-spread, spread, (N, K)).astype(np.float32))
+        py = centers[:, 1:2] + jnp.asarray(
+            rng.uniform(-spread, spread, (N, K)).astype(np.float32))
+        t0 = time.time()
+        got = jax.jit(lambda c, w, a, b: win.measure_scandots_band(
+            grid, c, ssz, w, a, b))(centers, weights, px, py)
+        jax.block_until_ready(got)
+        print(f"scandot kernel [P{ssz}] compiled+ran in {time.time()-t0:.1f}s",
+              flush=True)
+        refs = jax.jit(lambda c, w, a, b: pt.measure_scandots_batch(
+            grid._replace(band_scan=None), c, ssz, w, a, b))(
+            centers, weights, px, py)
+        # 1 bf16 ULP: the TPU gather path folds under
+        # xla_allow_excess_precision (f32 intermediates, no per-op bf16
+        # rounds), the kernel rounds per op — interpret-mode parity vs the
+        # per-op-rounded semantics is exact (tests/test_windows.py);
+        # on-chip they differ by at most one rounding.
+        diff = np.abs(np.asarray(got) - np.asarray(refs)).max()
+        np.testing.assert_allclose(np.asarray(got), np.asarray(refs),
+                                   atol=0.008)
+        print(f"scandot parity [P{ssz}]: OK (max|err| {diff:.2e} <= 1 bf16 "
+              "ULP vs excess-precision gather)", flush=True)
 
 
 if __name__ == "__main__":
