@@ -48,6 +48,14 @@ def load_into_strict(path: str, template: Any) -> Any:
     return restored
 
 
+def step_of(path: str) -> Optional[int]:
+    """Step number from a `<prefix>_<step>.msgpack` filename (None if
+    un-suffixed).  Used as a resume fallback for artifacts whose stored
+    iteration predates mid-run iteration tracking (runner.py learn)."""
+    m = re.search(r"_(\d+)\.msgpack$", os.path.basename(path))
+    return int(m.group(1)) if m else None
+
+
 def sibling_state(model_path: str) -> Optional[str]:
     """Full-TrainState artifact saved next to a slim model checkpoint
     (model_<step>.msgpack -> state_<step>.msgpack).  Returns None if the run

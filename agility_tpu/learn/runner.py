@@ -86,16 +86,21 @@ class OnPolicyRunner:
         profile_dir = os.environ.get("AGILITY_PROFILE_DIR")
 
         t_window = time.time()
-        it_window = self.current_iteration
-        for it in range(self.current_iteration, self.current_iteration + num_iterations):
-            if profile_dir and it == self.current_iteration + 2:
+        start_iter = self.current_iteration
+        it_window = start_iter
+        for it in range(start_iter, start_iter + num_iterations):
+            if profile_dir and it == start_iter + 2:
                 jax.profiler.start_trace(profile_dir)
-            if profile_dir and it == self.current_iteration + 4:
+            if profile_dir and it == start_iter + 4:
                 jax.profiler.stop_trace()
                 print(f"profiler trace written to {profile_dir}")
             self.train_state, self.env_state, self.disc_hist, metrics = self._iter(
                 self.train_state, self.env_state, self.disc_hist, jnp.asarray(it))
-            if (it + 1) % log_every == 0 or it == self.current_iteration:
+            # track progress as we go so mid-run checkpoints carry the TRUE
+            # iteration (a crash-resume must not renumber from 0 — rotation
+            # and the watchdog's resume step math depend on it)
+            self.current_iteration = it + 1
+            if (it + 1) % log_every == 0 or it == start_iter:
                 metrics = jax.device_get(metrics)   # drains the async queue
                 now = time.time()
                 fps = (it + 1 - it_window) * steps_per_iter / max(now - t_window, 1e-9)
@@ -113,9 +118,8 @@ class OnPolicyRunner:
             if self.log_dir and (it + 1) % self.save_interval == 0:
                 self.save(it + 1,
                           full=(it + 1) % self.full_save_interval == 0)
-        self.current_iteration += num_iterations
         if self.log_dir:
-            self.save(num_iterations)   # final save is always exact-resume
+            self.save(self.current_iteration)   # final save: exact-resume
         total = time.time() - t_start
         print(f"trained {num_iterations} iters in {total:.1f}s "
               f"({num_iterations * steps_per_iter / total:,.0f} env-steps/s)")
@@ -183,7 +187,8 @@ class OnPolicyRunner:
                 self.train_state = dev(restored["train_state"])
                 self.env_state = dev(restored["env_state"])
                 self.disc_hist = jnp.asarray(restored["disc_hist"])
-                self.current_iteration = int(restored["iteration"])
+                self.current_iteration = max(
+                    int(restored["iteration"]), ckpt.step_of(path) or 0)
                 return
             except (ValueError, KeyError) as e:
                 print(f"full-state restore mismatch ({e}); loading weights only")
@@ -197,7 +202,8 @@ class OnPolicyRunner:
             prior_parameters=jnp.asarray(restored["prior_parameters"]),
             lr_ac=jnp.asarray(restored["lr_ac"]),
         )
-        self.current_iteration = int(restored["iteration"])
+        self.current_iteration = max(
+            int(restored["iteration"]), ckpt.step_of(path) or 0)
 
     def get_inference_policy(self):
         """Deterministic policy (hist-encoded latent), like the reference's

@@ -87,11 +87,15 @@ class TscOnPolicyRunner:
         steps_per_iter = self.cfg.num_steps_per_env * self.env.num_envs
         t_start = time.time()
         t_window = time.time()
-        it_window = self.current_iteration
-        for it in range(self.current_iteration, self.current_iteration + num_iterations):
+        start_iter = self.current_iteration
+        it_window = start_iter
+        for it in range(start_iter, start_iter + num_iterations):
             self.train_state, self.env_state, self.disc_hist, metrics = self._iter(
                 self.train_state, self.env_state, self.disc_hist, jnp.asarray(it))
-            if (it + 1) % log_every == 0 or it == self.current_iteration:
+            # mid-run checkpoints must carry the TRUE iteration (crash
+            # resume; see runner.py)
+            self.current_iteration = it + 1
+            if (it + 1) % log_every == 0 or it == start_iter:
                 metrics = jax.device_get(metrics)
                 now = time.time()
                 fps = (it + 1 - it_window) * steps_per_iter / max(now - t_window, 1e-9)
@@ -111,9 +115,8 @@ class TscOnPolicyRunner:
             if self.log_dir and (it + 1) % self.save_interval == 0:
                 self.save(it + 1,
                           full=(it + 1) % self.full_save_interval == 0)
-        self.current_iteration += num_iterations
         if self.log_dir:
-            self.save(num_iterations)   # final save is always exact-resume
+            self.save(self.current_iteration)   # final save: exact-resume
         total = time.time() - t_start
         print(f"trained {num_iterations} iters in {total:.1f}s "
               f"({num_iterations * steps_per_iter / total:,.0f} env-steps/s)")
@@ -163,7 +166,8 @@ class TscOnPolicyRunner:
                 self.train_state = dev(restored["train_state"])
                 self.env_state = dev(restored["env_state"])
                 self.disc_hist = jnp.asarray(restored["disc_hist"])
-                self.current_iteration = int(restored["iteration"])
+                self.current_iteration = max(
+                    int(restored["iteration"]), ckpt.step_of(path) or 0)
                 return
             except (ValueError, KeyError) as e:
                 print(f"full-state restore mismatch ({e}); loading weights only")
@@ -172,4 +176,5 @@ class TscOnPolicyRunner:
             ac_params=restored["ac_params"],
             est_params=restored["est_params"],
             lr=jnp.asarray(restored["lr"]))
-        self.current_iteration = int(restored["iteration"])
+        self.current_iteration = max(
+            int(restored["iteration"]), ckpt.step_of(path) or 0)

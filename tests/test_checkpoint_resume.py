@@ -101,3 +101,42 @@ def test_prune_keeps_latest_and_milestones(tmp_path):
     ckpt.save(str(tmp_path / "state.msgpack"), {"x": [1.0]}, step=77)
     ckpt.prune(str(tmp_path), "model", keep_latest=1)
     assert (tmp_path / "state_77.msgpack").exists()
+
+
+def test_midrun_checkpoint_carries_true_iteration(tmp_path):
+    """Mid-run checkpoints must store the TRUE iteration (a crash-resume
+    renumbering from 0 breaks rotation and the watchdog's resume step
+    math — observed in the round-4 campaign); and a resume from an
+    artifact that predates iteration tracking falls back to the filename
+    step (io/checkpoint.step_of)."""
+    from agility_tpu.envs.config import smoke_cfg
+    from agility_tpu.envs.go2_locomotion import Go2LocomotionEnv
+    from agility_tpu.learn.runner import OnPolicyRunner
+    from agility_tpu.learn.ssinfogail import AlgoCfg
+    from agility_tpu.io import checkpoint as ckpt
+
+    env = Go2LocomotionEnv(smoke_cfg(num_envs=8))
+    cfg = AlgoCfg(num_steps_per_env=2, num_preload_transitions=16,
+                  disc_replay_buffer_size=16, num_learning_epochs=1,
+                  num_mini_batches=2)
+    runner = OnPolicyRunner(env, cfg, log_dir=str(tmp_path), seed=0)
+    runner.save_interval = 2
+    runner.full_save_interval = 4
+    runner.learn(4, init_at_random_ep_len=False, log_every=10)
+
+    tree = ckpt.load_into(str(tmp_path / "model_2.msgpack"),
+                          jax.device_get(runner.checkpoint_tree()))
+    assert int(tree["iteration"]) == 2
+    tree = ckpt.load_into(str(tmp_path / "model_4.msgpack"),
+                          jax.device_get(runner.checkpoint_tree()))
+    assert int(tree["iteration"]) == 4
+
+    # filename-step fallback for artifacts storing iteration=0
+    assert ckpt.step_of("a/model_3900.msgpack") == 3900
+    assert ckpt.step_of("a/model.msgpack") is None
+    r2 = OnPolicyRunner(env, cfg, log_dir=None, seed=0)
+    legacy = jax.device_get(r2.checkpoint_tree())
+    legacy["iteration"] = 0
+    p = ckpt.save(str(tmp_path / "legacy" / "model.msgpack"), legacy, step=777)
+    r2.load(p)
+    assert r2.current_iteration == 777
