@@ -34,6 +34,11 @@ def get_args():
     p.add_argument("--randomize_base_mass", action="store_true")
     p.add_argument("--randomize_base_com", action="store_true")
     p.add_argument("--push_robots", action="store_true")
+    p.add_argument("--reset_std", type=float, default=None,
+                   help="on resume, reset the continuous-head std to this "
+                        "value (reference reset_std / "
+                        "policy.continue_from_last_std=False, "
+                        "tsc task_registry.py:128-132)")
     p.add_argument("--log_root", default="logs")
     p.add_argument("--log_every", type=int, default=10)
     p.add_argument("--debug", action="store_true", help="64 envs, tiny world")
@@ -118,6 +123,15 @@ def main():
             if path:
                 print(f"resuming teacher from {path}")
                 runner.load(path)
+                if args.reset_std is not None:
+                    import jax.numpy as jnp
+
+                    ts_ = runner.train_state
+                    ac = jax.tree_util.tree_map(lambda x: x, ts_.ac_params)
+                    ac["params"]["std"] = jnp.full_like(
+                        ac["params"]["std"], args.reset_std)
+                    runner.train_state = ts_._replace(ac_params=ac)
+                    print(f"continuous-head std reset to {args.reset_std}")
         runner.learn(args.max_iterations, log_every=args.log_every)
         runner.save(runner.current_iteration)
     else:

@@ -40,6 +40,15 @@ class TscAlgoCfg:
     num_steps_per_env: int = 24
     dagger_update_freq: int = 20
     priv_reg_coef_schedule: Tuple[float, float, float, float] = (0, 0.1, 500, 1000)
+    # continuous-head exploration floor: the hybrid policy's learned std
+    # collapses under the course's harshly negative advantage tail
+    # (termination -50, collision -20 — observed round 4: entropy 2.1 ->
+    # negative within 6k iterations, success EMA 0.055 -> 0.008).  The
+    # reference manages this manually via reset_std on resume
+    # (tsc task_registry.py:130, policy.continue_from_last_std); the BBC
+    # stack's min-std clamp (gail.py:522-523) is the same mechanism —
+    # applied here after each PPO update.  0 disables.
+    min_std: float = 0.15
     # frozen-disc reward mix (runner cfg :443-449)
     reward_i_coef: float = 0.05
     reward_t_coef: float = 2.0
@@ -313,6 +322,10 @@ class TscPPO:
         carry, outs = jax.lax.scan(
             mb_step, carry, jnp.arange(cfg.num_learning_epochs * n_mb))
         ac_params, ac_opt, lr, est_params, est_opt = carry
+        if cfg.min_std > 0:
+            std = jnp.maximum(ac_params["params"]["std"], cfg.min_std)
+            ac_params = jax.tree_util.tree_map(lambda x: x, ac_params)
+            ac_params["params"]["std"] = std
         ts = ts._replace(ac_params=ac_params, ac_opt=ac_opt, lr=lr,
                          est_params=est_params, est_opt=est_opt,
                          priv_reg_counter=ts.priv_reg_counter + 1)
