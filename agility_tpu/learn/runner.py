@@ -204,6 +204,18 @@ class OnPolicyRunner:
         )
         self.current_iteration = max(
             int(restored["iteration"]), ckpt.step_of(path) or 0)
+        # Slim checkpoints don't carry task_obs_weight; it is a pure function
+        # of the iteration count (1 -> 0 over task_obs_weight_decay_steps,
+        # bbc on_policy_runner.py:224-225), so derive it rather than letting
+        # a weights-only resume restart the decay from 1.0 — at >50k iters
+        # that would re-feed the velocity channels to a discriminator that
+        # already finished the decay.
+        ncfg = self.env.cfg.normalization
+        if ncfg.task_obs_weight_decay:
+            w = max(0.0, 1.0 - self.current_iteration
+                    / ncfg.task_obs_weight_decay_steps)
+            self.train_state = self.train_state._replace(
+                task_obs_weight=jnp.asarray(w, jnp.float32))
 
     def get_inference_policy(self):
         """Deterministic policy (hist-encoded latent), like the reference's

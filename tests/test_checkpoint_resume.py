@@ -85,6 +85,32 @@ def test_slim_fallback_restores_params(tmp_path):
     assert r2.current_iteration == 1
 
 
+@pytest.mark.slow
+def test_slim_fallback_derives_task_obs_weight(tmp_path):
+    """Weights-only resume must NOT restart the task-obs decay: the weight
+    is a pure function of the iteration (1 -> 0 over decay_steps, reference
+    bbc on_policy_runner.py:224-225), so a slim load at iteration >=
+    decay_steps restores 0.0, and a mid-decay load restores the ramp value."""
+    log_dir = str(tmp_path / "run")
+    env = Go2LocomotionEnv(smoke_cfg(num_envs=8))
+    steps = env.cfg.normalization.task_obs_weight_decay_steps
+    r1 = OnPolicyRunner(env, _algo_cfg(), log_dir=log_dir, seed=3)
+    _run_iters(r1, 1)
+    r1.current_iteration = steps * 2          # decay long finished
+    path = r1.save(r1.current_iteration, full=False)
+
+    r2 = OnPolicyRunner(env, _algo_cfg(), log_dir=log_dir, seed=4)
+    r2.load(path)
+    assert float(r2.train_state.task_obs_weight) == 0.0
+
+    r1.current_iteration = steps // 2         # mid-decay
+    path = r1.save(r1.current_iteration, full=False)
+    r3 = OnPolicyRunner(env, _algo_cfg(), log_dir=log_dir, seed=5)
+    r3.load(path)
+    np.testing.assert_allclose(float(r3.train_state.task_obs_weight), 0.5,
+                               atol=1e-6)
+
+
 def test_prune_keeps_latest_and_milestones(tmp_path):
     """Rotation for long campaigns (io/checkpoint.prune): newest K stay,
     keep_every milestones stay, everything else is removed."""
