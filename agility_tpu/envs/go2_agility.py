@@ -79,6 +79,13 @@ class AgilityState(NamedTuple):
     seesaw_theta_d: jnp.ndarray      # (N,) plank angular velocity
     curr_count: jnp.ndarray          # () int — widens the sampling ranges
     success_rate: jnp.ndarray        # () EMA of course completion
+    # from-station-0 scoreboard (r5): under randomize_start the plain EMA
+    # counts late-station spawns finishing the last obstacle as "success";
+    # these track course TRAVERSAL — only episodes spawned at goal 0 count,
+    # and goal_progress measures goals gained per episode regardless of spawn
+    spawn_goal_idx: jnp.ndarray      # (N,) cur_goal_idx assigned at reset
+    success_rate_s0: jnp.ndarray     # () EMA over episodes spawned at start
+    goal_progress: jnp.ndarray       # () EMA of (end goal - spawn goal)
     # bookkeeping
     episode_sums: jnp.ndarray
     reset_buf: jnp.ndarray
@@ -330,6 +337,8 @@ class Go2AgilityEnv:
             seesaw_theta=jnp.full(N, obst_gen.SEESAW_THETA_REST),
             seesaw_theta_d=jnp.zeros(N),
             curr_count=jnp.zeros((), jnp.int32), success_rate=jnp.zeros(()),
+            spawn_goal_idx=jnp.zeros(N, jnp.int32),
+            success_rate_s0=jnp.zeros(()), goal_progress=jnp.zeros(()),
             episode_sums=jnp.zeros((N, self.n_rew)),
             reset_buf=jnp.zeros(N, bool), time_out_buf=jnp.zeros(N, bool),
             reach_goal_cutoff=jnp.zeros(N, bool),
@@ -516,6 +525,22 @@ class Go2AgilityEnv:
             n_end > 0,
             state.success_rate * 0.98 + 0.02 * (n_succ / jnp.maximum(n_end, 1)),
             state.success_rate)
+        # from-station-0 traversal metrics (r5 scoreboard fix): spawn-luck
+        # completions are excluded, and goal_progress counts goals actually
+        # gained this episode
+        end_s0 = reset_buf & (state.spawn_goal_idx == 0)
+        n_end0 = jnp.sum(end_s0)
+        n_succ0 = jnp.sum(reach_goal_cutoff & end_s0)
+        success_rate_s0 = jnp.where(
+            n_end0 > 0,
+            state.success_rate_s0 * 0.98 + 0.02 * (n_succ0 / jnp.maximum(n_end0, 1)),
+            state.success_rate_s0)
+        prog = jnp.sum(jnp.where(
+            reset_buf, (cur_goal_idx - state.spawn_goal_idx).astype(jnp.float32), 0.0))
+        goal_progress = jnp.where(
+            n_end > 0,
+            state.goal_progress * 0.98 + 0.02 * (prog / jnp.maximum(n_end, 1)),
+            state.goal_progress)
 
         # obstacle curriculum (:917-957): widen the per-env height sampling
         # ranges on sustained success; heights themselves are resampled
@@ -536,7 +561,8 @@ class Go2AgilityEnv:
             target_yaw=target_yaw, next_target_yaw=next_target_yaw,
             leave_goal=leave, reached_goal=reached,
             curr_count=curr_count,
-            success_rate=success_rate, episode_sums=episode_sums,
+            success_rate=success_rate, success_rate_s0=success_rate_s0,
+            goal_progress=goal_progress, episode_sums=episode_sums,
             reset_buf=reset_buf, time_out_buf=time_out,
             reach_goal_cutoff=reach_goal_cutoff)
         out_episode_sums = episode_sums
@@ -631,6 +657,7 @@ class Go2AgilityEnv:
             last_torques_org=zero(state.last_torques_org),
             obs_history=zero(state.obs_history),
             cur_goal_idx=jnp.where(mask, goal_idx, state.cur_goal_idx),
+            spawn_goal_idx=jnp.where(mask, goal_idx, state.spawn_goal_idx),
             reach_goal_timer=zero(state.reach_goal_timer),
             episode_sums=zero(state.episode_sums),
             key=ks[5])

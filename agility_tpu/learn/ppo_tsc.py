@@ -197,10 +197,12 @@ class TscPPO:
                 obs=obs, actions=actions, rewards=total_r, dones=out.reset,
                 values=values, logp_d=logp_d, logp_c=logp_c,
                 mean=mean_c, std=jnp.broadcast_to(std, mean_c.shape))
+            speed = jnp.linalg.norm(es3.sim.u[:, :3], axis=-1)
             m = dict(r_total=jnp.mean(total_r), r_t=jnp.mean(out.rew),
                      r_i=jnp.mean(r_i), done=jnp.sum(out.reset),
                      success=jnp.sum(out.reach_goal_cutoff),
-                     goal_idx=jnp.mean(es3.cur_goal_idx.astype(jnp.float32)))
+                     goal_idx=jnp.mean(es3.cur_goal_idx.astype(jnp.float32)),
+                     overspeed=jnp.mean((speed > 8.0).astype(jnp.float32)))
             return (es3, disc_hist3, key), (tr, m)
 
         (es, disc_hist, key), (trs, ms) = jax.lax.scan(

@@ -211,7 +211,7 @@ class OnPolicyRunner:
         # that would re-feed the velocity channels to a discriminator that
         # already finished the decay.
         ncfg = self.env.cfg.normalization
-        if ncfg.task_obs_weight_decay:
+        if ncfg.task_obs_weight_decay and ncfg.task_obs_weight_decay_steps:
             w = max(0.0, 1.0 - self.current_iteration
                     / ncfg.task_obs_weight_decay_steps)
             self.train_state = self.train_state._replace(

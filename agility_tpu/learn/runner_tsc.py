@@ -106,11 +106,20 @@ class TscOnPolicyRunner:
                     self.writer.scalar(
                         "Train/mean_success_rate",
                         float(self.env_state.success_rate), it)
+                    # from-station-0 scoreboard (r5): spawn-luck-free
+                    self.writer.scalar(
+                        "Train/success_rate_from_start",
+                        float(self.env_state.success_rate_s0), it)
+                    self.writer.scalar(
+                        "Train/goal_progress",
+                        float(self.env_state.goal_progress), it)
                     self.writer.flush()
                 print(f"it {it:6d} | r {metrics['rollout/r_total']:+.4f} "
                       f"| r_t {metrics['rollout/r_t']:+.4f} "
                       f"| goal {metrics['rollout/goal_idx']:.2f} "
                       f"| succ {float(self.env_state.success_rate):.3f} "
+                      f"| succ0 {float(self.env_state.success_rate_s0):.3f} "
+                      f"| prog {float(self.env_state.goal_progress):.2f} "
                       f"| fps {fps:,.0f}", flush=True)
             if self.log_dir and (it + 1) % self.save_interval == 0:
                 self.save(it + 1,

@@ -309,9 +309,14 @@ class SSInfoGAIL:
                 obs=obs, critic_obs=critic_obs, actions=actions, rewards=total_r,
                 dones=out.reset, values=values, log_prob=logp, mean=mean,
                 std=jnp.broadcast_to(std, mean.shape))
+            # exploit detector (physics/debug.py speed_gate): sustained
+            # overspeed means an energy leak, not locomotion
+            speed = jnp.linalg.norm(es2.sim.u[:, :3], axis=-1)
             metrics = dict(r_i=jnp.mean(r_i), r_us=jnp.mean(r_us), r_ss=jnp.mean(r_ss),
                            r_t=jnp.mean(out.rew), r_total=jnp.mean(total_r),
-                           ep_done=jnp.sum(out.reset))
+                           ep_done=jnp.sum(out.reset),
+                           overspeed=jnp.mean((speed > 8.0).astype(jnp.float32)),
+                           max_speed=jnp.max(speed))
             return (es2, disc_hist3, ring, key), (tr, metrics)
 
         (es, disc_hist, ring, key), (trs, ms) = jax.lax.scan(
@@ -319,6 +324,7 @@ class SSInfoGAIL:
         ts = ts._replace(ring=ring, key=key)
         metrics = {k: jnp.mean(v) for k, v in ms.items()}
         metrics["ep_done"] = jnp.sum(ms["ep_done"])
+        metrics["max_speed"] = jnp.max(ms["max_speed"])
         return ts, es, disc_hist, trs, metrics
 
     # ------------------------------------------------------------------
@@ -671,7 +677,7 @@ class SSInfoGAIL:
         ts = jax.lax.cond(hist_encoding, lambda a: do_dagger(a), lambda a: a[0], (ts,))
         # task-obs weight decay (runner :224-225)
         ncfg = self.env.cfg.normalization
-        if ncfg.task_obs_weight_decay:
+        if ncfg.task_obs_weight_decay and ncfg.task_obs_weight_decay_steps:
             ts = ts._replace(task_obs_weight=jnp.maximum(
                 0.0, ts.task_obs_weight - 1.0 / ncfg.task_obs_weight_decay_steps))
         metrics = {**{f"rollout/{k}": v for k, v in roll_m.items()}, **ppo_m, **disc_m}

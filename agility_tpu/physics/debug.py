@@ -30,6 +30,29 @@ def state_health(sim) -> Dict[str, jnp.ndarray]:
     }
 
 
+# Physical envelope for a torque-limited Go2 (15 kg, hip 23.7 / thigh 23.7 /
+# calf 45 Nm, 30 rad/s dof velocity cap): real hardware tops out at
+# ~3.7-5 m/s.  A sim policy sustaining base speeds beyond this gate is
+# exploiting the integrator/contact model, not locomoting (the r4 "trot"
+# reached 95 m/s by pumping the momentum-deleting joint-limit clamp —
+# fixed by dynamics.limit_impulses; this gate exists so any future
+# energy-injection channel is caught by the health monitor, not by a
+# 100k-iteration campaign).
+GO2_SPEED_GATE = 8.0
+
+
+def speed_gate(sim, gate: float = GO2_SPEED_GATE) -> Dict[str, jnp.ndarray]:
+    """Exploit detector: fraction of envs whose base speed exceeds the
+    physical ceiling, plus the max.  Log alongside state_health during
+    training; a non-zero fraction sustained over iterations means the
+    policy found an energy leak."""
+    speed = jnp.linalg.norm(sim.u[:, :3], axis=-1)
+    return {
+        "overspeed_frac": jnp.mean((speed > gate).astype(jnp.float32)),
+        "max_base_speed": jnp.max(speed),
+    }
+
+
 def checked(fn):
     """Wrap a jittable step function with checkify so non-finite
     intermediates raise with a location instead of silently propagating:

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from agility_tpu.core import quat as qm
@@ -144,6 +145,69 @@ def factor_mass_matrix(M: jnp.ndarray) -> MassFactors:
     BDinv = B @ Dinv                                      # (4, 6, 3)
     S = A - jnp.einsum("kab,kcb->ac", BDinv, B)
     return MassFactors(Dinv=Dinv, B=B, Sinv=_inv6(S), BDinv=BDinv)
+
+
+def limit_impulses(mc, f: MassFactors, u: jnp.ndarray, dof_pos: jnp.ndarray,
+                   dt: float, *, iters: int = 6, relax: float = 0.8,
+                   max_correction_vel: float = 1.0) -> jnp.ndarray:
+    """Momentum-consistent joint position/velocity limit enforcement.
+
+    Replaces the post-integration hard clamp (clip dof_pos, zero qd), which
+    deleted limb momentum with no reaction on the rest of the tree.  That
+    made the clamp an unphysical momentum source: measured |dP| up to
+    7 kg m/s per substep with joints at the velocity limit (vs m*g*dt =
+    0.74) — the channel the r4 trot policy pumped to 95 m/s ballistic
+    flight (tools/diagnose_gait.py).  PhysX resolves dof limits inside its
+    TGS solver, i.e. physically; this is our equivalent.
+
+    Limit violations are resolved by joint-space impulses mapped through
+    M^-1: u' = u + M^-1 J^T j with J = unit rows of the violating dofs.
+    Internal impulses cannot change total momentum — (M du)[:3,4,5] =
+    (J^T j)[:6] = 0 — so momentum changes only via real external forces.
+
+    Uses a frozen active set (dofs whose next-step position or current
+    velocity violates the box) and solves the bilateral equality to the
+    clamp target with diagonally-preconditioned Jacobi on the joint block
+    of M^-1, assembled from the existing factors:
+        A_jj = blockdiag(D^-1) + W^T S^-1 W,   W = B D^-1.
+    Couplings (hip-thigh-calf, and base-mediated leg-leg) are small but
+    real; 6 sweeps land within ~1e-3 rad/s of the target.  A final safety
+    clamp in the integrator catches dofs pushed out of the box by the
+    frozen-set approximation; its leak is orders of magnitude below the
+    old direct clamp (tests/test_dynamics.py momentum gates).
+    """
+    qd = u[6:]
+    vl = mc.dof_velocity_limit
+    # box on qd: stay inside position limits after dt, and inside +-vl;
+    # out-of-box positions are pushed back at <= max_correction_vel
+    lo = jnp.maximum(-vl, jnp.minimum((mc.dof_limit_lower - dof_pos) / dt,
+                                      max_correction_vel))
+    hi = jnp.minimum(vl, jnp.maximum((mc.dof_limit_upper - dof_pos) / dt,
+                                     -max_correction_vel))
+    target = jnp.clip(qd, lo, hi)
+    need = target - qd                                     # (12,)
+    active = (jnp.abs(need) > 0.0).astype(u.dtype)
+
+    W = jnp.concatenate(list(f.BDinv), axis=1)             # (6, 12)
+    SinvW = f.Sinv @ W                                     # (6, 12)
+
+    def A_mul(j):
+        """A_jj @ j without materializing A_jj."""
+        dj = (f.Dinv @ j.reshape(4, 3, 1)).reshape(12)
+        return dj + W.T @ (SinvW @ j)
+
+    diag = (jnp.concatenate([jnp.diagonal(f.Dinv[k]) for k in range(4)])
+            + jnp.sum(W * SinvW, axis=0))
+
+    def sweep(j, _):
+        j2 = j + relax * (need - A_mul(j)) / diag
+        return j2 * active, None
+
+    j, _ = jax.lax.scan(sweep, jnp.zeros_like(qd), None, length=iters)
+
+    base_du = -(SinvW @ j)                                 # (6,)
+    joint_du = (f.Dinv @ j.reshape(4, 3, 1)).reshape(12) + W.T @ (f.Sinv @ (W @ j))
+    return u + jnp.concatenate([base_du, joint_du])
 
 
 def solve_mass(f: MassFactors, rhs: jnp.ndarray) -> jnp.ndarray:

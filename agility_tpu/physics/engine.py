@@ -186,21 +186,10 @@ def substep(
             u_new = s.u + cfg.dt * dyn.solve_mass(factors, tau + tau_c - C)
             sph_force = f_world
 
-    # semi-implicit Euler
-    u_new = _clamp_base_velocity(u_new)
-    base_pos = s.base_pos + cfg.dt * u_new[:3]
-    base_quat = qm.quat_integrate(s.base_quat, u_new[3:6], cfg.dt)
-    dof_pos = s.dof_pos + cfg.dt * u_new[6:]
-    qd = u_new[6:]
-
-    if cfg.enforce_joint_limits:
-        clamped = jnp.clip(dof_pos, mc.dof_limit_lower, mc.dof_limit_upper)
-        qd = jnp.where(clamped == dof_pos, qd, 0.0)
-        dof_pos = clamped
-        qd = jnp.clip(qd, -mc.dof_velocity_limit, mc.dof_velocity_limit)
-
-    u_new = jnp.concatenate([u_new[:6], qd])
-    return EnvState(base_pos, base_quat, dof_pos, u_new), (tau_j, tau_org), sph_force
+    # semi-implicit Euler (momentum-consistent limit impulses; the residual
+    # safety clamp lives in _integrate)
+    return (_integrate(mc, cfg, s, u_new, factors), (tau_j, tau_org),
+            sph_force)
 
 
 def control_step(
@@ -261,7 +250,7 @@ def _pre_contact(mc: ModelConsts, cfg: EngineConfig, grid, s: EnvState,
                                     terrain_patch)
     MinvJT = dyn.solve_mass(factors, JpT)
     G = JpT.T @ MinvJT
-    return u_free, phi, normals, JpT, MinvJT, G, (tau_j, tau_org)
+    return u_free, phi, normals, JpT, MinvJT, G, (tau_j, tau_org), factors
 
 
 def _clamp_base_velocity(u, max_lin=100.0, max_ang=50.0):
@@ -272,13 +261,22 @@ def _clamp_base_velocity(u, max_lin=100.0, max_ang=50.0):
     return jnp.concatenate([v, w, u[6:]])
 
 
-def _integrate(mc: ModelConsts, cfg: EngineConfig, s: EnvState, u_new):
+def _integrate(mc: ModelConsts, cfg: EngineConfig, s: EnvState, u_new,
+               factors=None):
     u_new = _clamp_base_velocity(u_new)
+    if cfg.enforce_joint_limits and factors is not None:
+        # physical limit enforcement: joint-space impulses through M^-1
+        # (dynamics.limit_impulses) — the old direct clamp deleted limb
+        # momentum with no reaction and was pumpable into ballistic flight
+        # (r4 trot diagnosis, PERF_NOTES round 5)
+        u_new = dyn.limit_impulses(mc, factors, u_new, s.dof_pos, cfg.dt)
     base_pos = s.base_pos + cfg.dt * u_new[:3]
     base_quat = qm.quat_integrate(s.base_quat, u_new[3:6], cfg.dt)
     dof_pos = s.dof_pos + cfg.dt * u_new[6:]
     qd = u_new[6:]
     if cfg.enforce_joint_limits:
+        # residual safety clamp: with the impulse pass this only catches
+        # ~1e-3-scale frozen-active-set coupling residue
         clamped = jnp.clip(dof_pos, mc.dof_limit_lower, mc.dof_limit_upper)
         qd = jnp.where(clamped == dof_pos, qd, 0.0)
         dof_pos = clamped
@@ -358,14 +356,15 @@ def control_step_batched(mc: ModelConsts, cfg: EngineConfig, grid, s: EnvState,
                                         else 0)
                                if terrain_patch is not None else None)),
         )(st, control, params, terrain_patch)
-        u_free, phi, normals, JpT, MinvJT, G, taus = pre
+        u_free, phi, normals, JpT, MinvJT, G, taus, factors = pre
         u_new, sph_force = pc.jacobi_solve_batch(
             phi, normals, JpT, MinvJT, G, u_free, params.friction, cfg.dt,
             iters=cfg.jacobi_iters, relax=cfg.jacobi_relax,
             baumgarte=cfg.baumgarte, slop=cfg.contact_slop,
             max_depen_vel=cfg.max_depenetration_vel,
             restitution=cfg.restitution, env_block=cfg.pallas_env_block)
-        st2 = jax.vmap(lambda si, un: _integrate(mc, cfg, si, un))(st, u_new)
+        st2 = jax.vmap(lambda si, un, fi: _integrate(mc, cfg, si, un, fi))(
+            st, u_new, factors)
         bf = jax.vmap(
             lambda f: jax.ops.segment_sum(f, mc.sph_body, num_segments=mc.n_bodies)
         )(sph_force)

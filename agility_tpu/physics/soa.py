@@ -444,6 +444,81 @@ def solve(f, rhs):
     return out
 
 
+def limit_impulses(c: _Consts, f, u_arr, q, dt, *, iters=6, relax=0.8,
+                   max_correction_vel=1.0):
+    """Momentum-consistent dof limit enforcement, env-minor layout.
+
+    Port of dynamics.limit_impulses (see its docstring for the physics: the
+    old post-integration hard clamp deleted limb momentum with no reaction
+    — an unphysical momentum source the r4 trot policy pumped into 95 m/s
+    ballistic flight).  Resolves position/velocity-limit violations with
+    joint-space impulses mapped through M^-1 assembled from the factored
+    mass matrix: A_jj = blockdiag(D^-1) + W^T S^-1 W, W = B D^-1.
+
+    u_arr: (18, N); q: (12, N).  Returns the corrected (18, N).
+    """
+    qd = [u_arr[6 + d] for d in range(c.nu)]
+    dtype = u_arr.dtype
+    lo_l = jnp.asarray(c.lower, dtype)
+    hi_l = jnp.asarray(c.upper, dtype)
+    vl = jnp.asarray(c.vel_limit, dtype)
+    need = [None] * c.nu
+    active = [None] * c.nu
+    for d in range(c.nu):
+        lo = jnp.maximum(-vl[d], jnp.minimum((lo_l[d] - q[d]) / dt,
+                                             max_correction_vel))
+        hi = jnp.minimum(vl[d], jnp.maximum((hi_l[d] - q[d]) / dt,
+                                            -max_correction_vel))
+        tgt = jnp.clip(qd[d], lo, hi)
+        need[d] = tgt - qd[d]
+        active[d] = (jnp.abs(need[d]) > 0.0).astype(dtype)
+
+    legs = f["legs"]
+
+    def Wj_of(j):
+        """W @ j = sum_k BDinv_k j_leg  -> 6-list."""
+        acc = None
+        for k, leg in enumerate(legs):
+            t = mat_vec(f["BDinv"][k], [j[d] for d in leg])
+            acc = t if acc is None else [acc[r] + t[r] for r in range(6)]
+        return acc
+
+    def A_mul(j):
+        Sw = mat_vec(f["Sinv"], Wj_of(j))
+        out = [None] * c.nu
+        for k, leg in enumerate(legs):
+            dj = mat_vec(f["Dinv"][k], [j[d] for d in leg])
+            wt = mat_vec(mat_T(f["BDinv"][k]), Sw)
+            for i, d in enumerate(leg):
+                out[d] = dj[i] + wt[i]
+        return out
+
+    # diag(A_jj): Dinv diagonal + w_d^T Sinv w_d
+    diag = [None] * c.nu
+    for k, leg in enumerate(legs):
+        for i, d in enumerate(leg):
+            w = [f["BDinv"][k][r][i] for r in range(6)]
+            Sw = mat_vec(f["Sinv"], w)
+            diag[d] = f["Dinv"][k][i][i] + sum(w[r] * Sw[r] for r in range(6))
+
+    j = [jnp.zeros_like(need[d]) for d in range(c.nu)]
+    for _ in range(iters):
+        Aj = A_mul(j)
+        j = [(j[d] + relax * (need[d] - Aj[d]) / diag[d]) * active[d]
+             for d in range(c.nu)]
+
+    Sw = mat_vec(f["Sinv"], Wj_of(j))          # = -du_base
+    du = [None] * 18
+    for r in range(6):
+        du[r] = -Sw[r]
+    for k, leg in enumerate(legs):
+        dj = mat_vec(f["Dinv"][k], [j[d] for d in leg])
+        wt = mat_vec(mat_T(f["BDinv"][k]), Sw)
+        for i, d in enumerate(leg):
+            du[6 + d] = dj[i] + wt[i]
+    return u_arr + jnp.stack(du)
+
+
 # ---------------------------------------------------------------------------
 # bias forces (u' = 0 propagation + subtree force accumulation)
 # ---------------------------------------------------------------------------
@@ -784,6 +859,11 @@ def substep(mc: ModelConsts, cfg, sd: SoAState, target, kp, kd, prm, sampler,
     u_arr = jnp.stack(u_new)                          # (18, N)
     u_arr = u_arr.at[0:3].set(jnp.clip(u_arr[0:3], -100.0, 100.0))
     u_arr = u_arr.at[3:6].set(jnp.clip(u_arr[3:6], -50.0, 50.0))
+    if cfg.enforce_joint_limits:
+        # physical limit enforcement (see limit_impulses) — replaces the
+        # momentum-deleting hard clamp; the clamp below only catches the
+        # frozen-active-set coupling residue
+        u_arr = limit_impulses(c, f, u_arr, sd.q, cfg.dt)
     bp2 = sd.bp + cfg.dt * u_arr[0:3]
     bq2 = jnp.stack(q_integrate(bq, (u_arr[3], u_arr[4], u_arr[5]), cfg.dt))
     q2 = sd.q + cfg.dt * u_arr[6:]

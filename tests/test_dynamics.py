@@ -140,3 +140,72 @@ def test_gravity_only_base_acceleration(rng):
     # joints see no relative acceleration.
     np.testing.assert_allclose(np.asarray(a[:3]), [0.0, 0.0, -9.81], atol=1e-4)
     np.testing.assert_allclose(np.asarray(a[3:]), 0.0, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Momentum conservation at dof limits (r5: the r4 trot flight diagnosis).
+# The old post-integration hard clamp deleted limb momentum with no reaction
+# on the tree — measured |dP| up to 7 kg m/s per substep (vs m g dt = 0.74)
+# with joints at the velocity limit, a channel the trot policy pumped into
+# 95 m/s ballistic flight.  dynamics.limit_impulses resolves limits with
+# joint-space impulses through M^-1, which cannot change total momentum.
+# ---------------------------------------------------------------------------
+
+
+def _flight_momentum_worst(amp, n_steps=25, seed=0):
+    """Worst per-substep |dP - m g dt| with violent random PD targets in
+    free flight (no contact possible: spawned 50 m up on a flat grid)."""
+    from agility_tpu.physics import engine as eng
+    from agility_tpu.physics import heightfield as hf
+
+    cfg = eng.EngineConfig(fast=True, soa=False)
+    grid = hf.from_numpy(np.zeros((16, 16), np.float32), 0.5, (0.0, 0.0))
+    m_tot = float(np.sum(np.asarray(MC.link_mass)))
+
+    def momentum(s):
+        ls = full_state(s.base_pos, s.base_quat, s.dof_pos, s.u)
+        return jnp.sum(MC.link_mass[:, None] * ls.vcom, axis=0)
+
+    s = eng.EnvState(
+        base_pos=jnp.asarray([4.0, 4.0, 50.0]),
+        base_quat=jnp.asarray([0.0, 0.0, 0.0, 1.0]),
+        dof_pos=MC.default_dof_pos,
+        u=jnp.zeros(18),
+    )
+    params = eng.EnvParams.nominal()
+    key = jax.random.PRNGKey(seed)
+    worst = 0.0
+    substep = jax.jit(lambda st, tg: eng.substep(
+        MC, cfg, grid, st, eng.Control(
+            target=tg, kp=jnp.full(12, 40.0), kd=jnp.full(12, 1.0)),
+        params))
+    for _ in range(n_steps):
+        key, k = jax.random.split(key)
+        tg = MC.default_dof_pos + amp * jax.random.uniform(
+            k, (12,), minval=-1, maxval=1)
+        P0 = momentum(s)
+        s, _, _ = substep(s, tg)
+        dP = np.asarray(momentum(s) - P0)
+        err = np.abs(dP - np.array([0.0, 0.0, m_tot * -9.81 * cfg.dt])).max()
+        worst = max(worst, float(err))
+    return worst, s
+
+
+def test_flight_momentum_quiet():
+    """No torques -> exact momentum conservation (gravity only)."""
+    worst, _ = _flight_momentum_worst(0.0, n_steps=10)
+    assert worst < 1e-4, worst
+
+
+def test_flight_momentum_at_limits():
+    """Violent targets slam joints into position/velocity limits; the limit
+    impulses must keep the per-substep momentum error within the O(dt^2)
+    integrator band (the OLD clamp produced several kg m/s here)."""
+    worst, s = _flight_momentum_worst(5.0, n_steps=25)
+    assert worst < 2.0, worst
+    # limits themselves still enforced
+    q = np.asarray(s.dof_pos)
+    assert (q >= np.asarray(MC.dof_limit_lower) - 1e-5).all()
+    assert (q <= np.asarray(MC.dof_limit_upper) + 1e-5).all()
+    assert (np.abs(np.asarray(s.u[6:]))
+            <= np.asarray(MC.dof_velocity_limit) + 1e-4).all()
