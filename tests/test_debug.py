@@ -3,19 +3,31 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from agility_tpu.envs.config import smoke_cfg
-from agility_tpu.envs.go2_locomotion import Go2LocomotionEnv
 from agility_tpu.physics import debug as pdbg
 
 
 def test_state_health_flags_nonfinite():
-    env = Go2LocomotionEnv(smoke_cfg(4))
-    s = env.init_state(jax.random.PRNGKey(0))
-    h = pdbg.state_health(s.sim)
+    # state_health only needs an EnvState-shaped pytree — building a full
+    # env here cost a ~20 s eager init for no extra coverage
+    from agility_tpu.physics import engine as eng
+
+    sim = eng.EnvState(
+        base_pos=jnp.zeros((4, 3)).at[:, 2].set(0.35),
+        base_quat=jnp.zeros((4, 4)).at[:, 3].set(1.0),
+        dof_pos=jnp.zeros((4, 12)),
+        u=jnp.zeros((4, 18)))
+    h = pdbg.state_health(sim)
     assert int(h["nonfinite_envs"]) == 0
-    bad = s.sim._replace(base_pos=s.sim.base_pos.at[1, 2].set(jnp.nan))
+    bad = sim._replace(base_pos=sim.base_pos.at[1, 2].set(jnp.nan))
     h2 = pdbg.state_health(bad)
     assert int(h2["nonfinite_envs"]) == 1
+    # speed gate: quiet state passes; one ballistic env is flagged
+    g = pdbg.speed_gate(sim)
+    assert float(g["overspeed_frac"]) == 0.0
+    fast = sim._replace(u=sim.u.at[2, 0].set(40.0))
+    g2 = pdbg.speed_gate(fast)
+    assert abs(float(g2["overspeed_frac"]) - 0.25) < 1e-6
+    assert float(g2["max_base_speed"]) > 39.0
 
 
 def test_checked_catches_nan():

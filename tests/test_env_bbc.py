@@ -14,11 +14,23 @@ def env():
     return Go2LocomotionEnv(smoke_cfg(num_envs=8))
 
 
+# jit once per module: `jax.jit(env.step)` at each call site creates a new
+# bound-method wrapper -> a fresh ~20 s XLA-CPU compile per test.  Shared
+# jitted entry points keep the suite compile count at one per program.
 @pytest.fixture(scope="module")
-def rollout(env):
+def step(env):
+    return jax.jit(env.step)
+
+
+@pytest.fixture(scope="module")
+def init(env):
+    return jax.jit(env.init_state)
+
+
+@pytest.fixture(scope="module")
+def rollout(env, init, step):
     key = jax.random.PRNGKey(0)
-    state = env.init_state(key)
-    step = jax.jit(env.step)
+    state = init(key)
     outs = []
     for i in range(10):
         acts = jax.random.normal(jax.random.PRNGKey(i), (8, 12)) * 0.1
@@ -55,22 +67,20 @@ def test_rewards_mostly_positive(env, rollout):
     assert (r >= 0).all()  # only_positive_rewards clips at 0
 
 
-def test_deterministic(env):
+def test_deterministic(env, init, step):
     key = jax.random.PRNGKey(0)
-    step = jax.jit(env.step)
-    s1 = env.init_state(key)
-    s2 = env.init_state(key)
+    s1 = init(key)
+    s2 = init(key)
     a = jnp.zeros((8, 12))
     o1 = step(s1, a)[1]
     o2 = step(s2, a)[1]
     np.testing.assert_array_equal(np.asarray(o1.obs), np.asarray(o2.obs))
 
 
-def test_timeout_resets(env):
+def test_timeout_resets(env, init, step):
     """Run past the episode length; episode_length must wrap."""
     key = jax.random.PRNGKey(1)
-    state = env.init_state(key)
-    step = jax.jit(env.step)
+    state = init(key)
     max_len = env.max_episode_length
     n_steps = max_len + 2
     saw_reset = False

@@ -35,8 +35,21 @@ def env():
     return Go2AgilityEnv(tsc_smoke_cfg(num_envs=4, courses=2))
 
 
-def test_env_shapes_and_step(env):
-    state = env.init_state(jax.random.PRNGKey(0))
+# one jitted step/init per module: per-test `jax.jit(env.step)` wrappers
+# each pay a fresh ~20 s XLA-CPU compile (bound-method identity misses the
+# jit cache)
+@pytest.fixture(scope="module")
+def step(env):
+    return jax.jit(env.step)
+
+
+@pytest.fixture(scope="module")
+def init(env):
+    return jax.jit(env.init_state)
+
+
+def test_env_shapes_and_step(env, init, step):
+    state = init(jax.random.PRNGKey(0))
     assert state.obs_buf.shape == (4, 800)
     assert state.obs_bbc_buf.shape == (4, 671)
     # hierarchical bridge: random HL actions -> commands in per-mode ranges
@@ -51,22 +64,20 @@ def test_env_shapes_and_step(env):
     vx = np.asarray(state2.commands[:, 0])
     if not env.cfg.domain_rand.randomize_action:
         np.testing.assert_allclose(vx, 1.0, atol=1e-5)  # (0.5+1.5)/2
-    step = jax.jit(env.step)
     state3, out = step(state2, jnp.zeros((4, 12)))
     assert np.isfinite(np.asarray(out.obs)).all()
     assert np.isfinite(np.asarray(out.rew)).all()
     assert out.disc_obs.shape == (4, 49)
 
 
-def test_goal_progression(env):
+def test_goal_progression(env, init, step):
     """Teleport the robot onto its first goal: the reach machinery must
     advance the goal index within a few steps."""
-    state = env.init_state(jax.random.PRNGKey(1))
+    state = init(jax.random.PRNGKey(1))
     goal = state.cur_goals
     sim = state.sim._replace(
         base_pos=state.sim.base_pos.at[:, :2].set(goal[:, :2]))
     state = state._replace(sim=sim)
-    step = jax.jit(env.step)
     for _ in range(4):
         state, out = step(state, jnp.zeros((4, 12)))
         sim = state.sim._replace(
@@ -76,11 +87,11 @@ def test_goal_progression(env):
     assert int(jnp.max(state.cur_goal_idx)) >= 1
 
 
-def test_seesaw_tilts_under_robot(env):
+def test_seesaw_tilts_under_robot(env, init, step):
     """Drop the robot on the far (+x local) half of its seesaw plank: the
     passive 1-DOF plank (reference tsc legged_robot.py:1414-1427) must tilt
     away from rest under the contact torque."""
-    state = env.init_state(jax.random.PRNGKey(2))
+    state = init(jax.random.PRNGKey(2))
     types = np.asarray(env.obst_types)                      # (N, 6)
     station = np.argmax(types == obst_gen.OBST_TYPES.index("seesaw"), axis=1)
     pivot_goal = station * env.num_goals + 2
@@ -99,7 +110,6 @@ def test_seesaw_tilts_under_robot(env):
         sim=sim,
         cur_goal_idx=jnp.asarray(pivot_goal, jnp.int32),
         cur_goals=jnp.asarray(pivot, jnp.float32))
-    step = jax.jit(env.step)
     for _ in range(40):
         state, out = step(state, jnp.zeros((4, 12)))
     th = np.asarray(state.seesaw_theta)
@@ -120,7 +130,7 @@ def test_tsc_training_smoke(tmp_path):
     runner.load(p)
 
 
-def test_scan_window_covers_rotated_grid(env):
+def test_scan_window_covers_rotated_grid(env, init):
     """Auto-sized scan windows (centered on the rotated scan-grid
     circumcenter, env.scan_size cells) must cover every scandot at ANY
     yaw: patch-path measurement == full-grid min3 fallback.  Guards the
@@ -132,7 +142,7 @@ def test_scan_window_covers_rotated_grid(env):
     # the 12x11 grid at 0.05 m: circumradius 0.744 m -> 34-cell windows
     assert env.scan_size == 34
 
-    state = env.init_state(jax.random.PRNGKey(0))
+    state = init(jax.random.PRNGKey(0))
     N = env.num_envs
     # adversarial yaws: axis-aligned and diagonal corner orientations
     yaws = jnp.asarray([0.0, np.pi / 4, np.pi / 2, 2.4])[:N]

@@ -11,15 +11,26 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import pytest
+
 from agility_tpu.envs.config import smoke_cfg
 from agility_tpu.envs.go2_locomotion import Go2LocomotionEnv
 
 
-def _drive_to_reset(env, n=8, scale=3.0, max_steps=300):
+@pytest.fixture(scope="module")
+def env():
+    return Go2LocomotionEnv(smoke_cfg(num_envs=8))
+
+
+@pytest.fixture(scope="module")
+def step(env):
+    return jax.jit(env.step)
+
+
+def _drive_to_reset(env, step, n=8, scale=3.0, max_steps=300):
     """Step with violent random actions until some env terminates.
     Returns (pre_state, actions, out_with_reset)."""
     state = env.init_state(jax.random.PRNGKey(0))
-    step = jax.jit(env.step)
     for i in range(max_steps):
         acts = jax.random.normal(jax.random.PRNGKey(i), (n, 12)) * scale
         prev = state
@@ -30,9 +41,8 @@ def _drive_to_reset(env, n=8, scale=3.0, max_steps=300):
 
 
 @pytest.mark.slow
-def test_terminal_disc_obs_is_pre_reset_state():
-    env = Go2LocomotionEnv(smoke_cfg(num_envs=8))
-    prev, acts, out = _drive_to_reset(env, 8)
+def test_terminal_disc_obs_is_pre_reset_state(env, step):
+    prev, acts, out = _drive_to_reset(env, step, 8)
     mask = np.asarray(out.reset)
 
     # replay the exact same step with resets suppressed: its post-step disc
@@ -52,9 +62,8 @@ def test_terminal_disc_obs_is_pre_reset_state():
     assert np.abs(stale - fresh).max() > 1e-4
 
 
-def test_terminal_disc_obs_shape_and_finite():
-    env = Go2LocomotionEnv(smoke_cfg(num_envs=8))
+def test_terminal_disc_obs_shape_and_finite(env, step):
     state = env.init_state(jax.random.PRNGKey(0))
-    state, out = jax.jit(env.step)(state, jnp.zeros((8, 12)))
+    state, out = step(state, jnp.zeros((8, 12)))
     assert out.terminal_disc_obs.shape == (8, 49)
     assert np.isfinite(np.asarray(out.terminal_disc_obs)).all()
