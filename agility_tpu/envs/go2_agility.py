@@ -305,7 +305,7 @@ class Go2AgilityEnv:
     # initialization
     # ==================================================================
 
-    def init_state(self, key) -> AgilityState:
+    def init_state(self, key, grid=None) -> AgilityState:
         N = self.num_envs
         z12 = jnp.zeros((N, 12))
         s = AgilityState(
@@ -350,7 +350,7 @@ class Go2AgilityEnv:
         s = self._reset_where(s._replace(key=key), jnp.ones(N, bool), sub)
         s = s._replace(cur_goals=self._gather_goals(s, s.cur_goal_idx),
                        next_goals=self._gather_goals(s, s.cur_goal_idx + 1))
-        s, _ = self.step(s, jnp.zeros((N, 12)))
+        s, _ = self.step(s, jnp.zeros((N, 12)), grid=grid)
         return s
 
     # ==================================================================
@@ -402,7 +402,10 @@ class Go2AgilityEnv:
     # step (takes the BBC's joint-space actions)
     # ==================================================================
 
-    def step(self, state: AgilityState, actions_bbc: jnp.ndarray):
+    def step(self, state: AgilityState, actions_bbc: jnp.ndarray, grid=None):
+        """`grid`: optional world override carrying the jit-argument band
+        stacks (learn/jitwrap.py); only the band consumers — the engine
+        contact step and the scandot window measurement — use it."""
         cfg = self.cfg
         N = self.num_envs
         keys = jax.random.split(state.key, 4)
@@ -425,7 +428,8 @@ class Go2AgilityEnv:
                               kd=jnp.tile(self.kd, (N, 1)))
 
         sim, (tau, tau_org), body_forces, _, _ = eng.step_batch(
-            self.mc, self.engine_cfg, self.grid, state.sim, control, params)
+            self.mc, self.engine_cfg, self.grid if grid is None else grid,
+            state.sim, control, params)
 
         # --- passive seesaw plank dynamics (tsc legged_robot.py:1414-1427):
         # feet normal forces on plank cells torque the per-env plank angle;
@@ -573,7 +577,7 @@ class Go2AgilityEnv:
         next_goals = self._gather_goals(mid, mid.cur_goal_idx + 1)
         mid = mid._replace(cur_goals=cur_goals, next_goals=next_goals)
 
-        obs, obs_bbc, disc_obs, obs_history, dyaw, dnyaw = self._compute_observations(mid)
+        obs, obs_bbc, disc_obs, obs_history, dyaw, dnyaw = self._compute_observations(mid, grid)
         new_state = mid._replace(
             obs_buf=obs, obs_bbc_buf=obs_bbc, disc_obs=disc_obs,
             obs_history=obs_history, delta_yaw=dyaw, delta_next_yaw=dnyaw,
@@ -664,7 +668,8 @@ class Go2AgilityEnv:
 
     # ------------------------------------------------------------------
 
-    def _measure_heights(self, state, base_pos, base_quat):
+    def _measure_heights(self, state, base_pos, base_quat, grid=None):
+        g = self.grid if grid is None else grid
         w = self._weights(state)
         pts = qm.quat_apply_yaw(base_quat[:, None, :], self.height_points) + base_pos[:, None, :]
         if self.engine_cfg.fast and self.engine_cfg.patch_size:
@@ -676,13 +681,13 @@ class Go2AgilityEnv:
             centers = (qm.quat_apply_yaw(base_quat, self.scan_center_local)
                        + base_pos)[:, :2]
             return pt.measure_scandots_batch(
-                self.grid, centers, self.scan_size, w,
+                g, centers, self.scan_size, w,
                 pts[..., 0], pts[..., 1])
         return jax.vmap(
             lambda p, wi: hf.sample_height_min3(self.grid, p[:, 0], p[:, 1], wi)
         )(pts, w)
 
-    def _compute_observations(self, state: AgilityState):
+    def _compute_observations(self, state: AgilityState, grid=None):
         cfg = self.cfg
         osc = cfg.obs_scales
         sim = state.sim
@@ -691,7 +696,7 @@ class Go2AgilityEnv:
         base_ang_vel = qm.quat_rotate_inverse(bq, sim.u[:, 3:6])
         roll, pitch, yaw = qm.euler_from_quat(bq)
         imu = jnp.stack([roll, pitch], -1)
-        measured = self._measure_heights(state, sim.base_pos, bq)
+        measured = self._measure_heights(state, sim.base_pos, bq, grid)
         root_h = (sim.base_pos[:, 2] - measured[:, self.center_height_idx])[:, None]
 
         delta_yaw = qm.wrap_to_pi(state.target_yaw - yaw)

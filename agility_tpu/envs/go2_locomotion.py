@@ -257,7 +257,7 @@ class Go2LocomotionEnv:
     # initialization
     # ==================================================================
 
-    def init_state(self, key) -> LocoState:
+    def init_state(self, key, grid=None) -> LocoState:
         N = self.num_envs
         C = self.dim_c
         H = self.cfg.env.history_len
@@ -296,14 +296,20 @@ class Go2LocomotionEnv:
         key, sub = jax.random.split(key)
         s = self._reset_where(s._replace(key=key), jnp.ones(N, bool), sub)
         # fill caches with a zero-action step (reference reset(), base_task)
-        s, _ = self.step(s, jnp.zeros((N, 12)))
+        s, _ = self.step(s, jnp.zeros((N, 12)), grid=grid)
         return s
 
     # ==================================================================
     # step
     # ==================================================================
 
-    def step(self, state: LocoState, actions: jnp.ndarray) -> Tuple[LocoState, StepOutput]:
+    def step(self, state: LocoState, actions: jnp.ndarray,
+             grid=None) -> Tuple[LocoState, StepOutput]:
+        """`grid`: optional world override carrying the jit-argument band
+        stacks (learn/jitwrap.py); defaults to the env's own grid.  Only the
+        band consumers (engine.step_batch) need it — reset/obs height
+        lookups read the plain height arrays, which are fine as closure
+        constants."""
         cfg = self.cfg
         N = self.num_envs
         key = state.key
@@ -335,7 +341,8 @@ class Go2LocomotionEnv:
 
         # --- physics (decimated substeps; SoA/vmap/pallas per engine cfg) ---
         sim, (tau, tau_org), body_forces, _, terrain_patch = eng.step_batch(
-            self.mc, self.engine_cfg, self.grid, state.sim, control, self.params)
+            self.mc, self.engine_cfg, self.grid if grid is None else grid,
+            state.sim, control, self.params)
 
         episode_length = state.episode_length + 1
         global_counter = state.global_counter + 1

@@ -6,40 +6,34 @@ closure constants, which embeds them into the lowered HLO — the remote
 TPU compile tunnel rejects payloads that large (HTTP 413), and constant
 upload per executable is wasted traffic anyway.  `jit_with_world` lifts
 the band stacks into ordinary jit arguments while keeping the wrapped
-callable's signature unchanged: the same device arrays are passed on
-every call (zero transfer), and the env's grid is temporarily rebound to
-the traced band arguments for the duration of the trace.
+callable's *call* signature unchanged: the same device arrays are passed
+on every call (zero transfer).
 
-When no bands are attached (CPU test runs, flat worlds) this is exactly
-`jax.jit(fn)`.
-
-INVARIANT — single-threaded tracing only: the wrapper temporarily mutates
-`env.grid` for the duration of the trace (restored in a finally block).
-Tracing two jit_with_world-wrapped functions of the same env concurrently
-(e.g. an async eval jit on a worker thread) would race on `env.grid` and
-can bake the band-argument tracers of one trace into the other.  All
-runners/CLIs trace sequentially on the main thread; keep it that way, or
-pass a copied env to the second tracer.
+The wrapped callable must accept a trailing `grid=None` keyword (every
+env step/init, train_iteration, and bench closure does): the wrapper
+passes the env's grid with its band stacks swapped for the traced band
+arguments, and the callee threads it down to the band consumers
+(engine.step_batch, the scandot window measurement).  Callees fall back
+to `self.grid` / `env.grid` when `grid` is None — the plain-jit path for
+bandless worlds (CPU tests, flat terrain).  Nothing is mutated at trace
+time, so concurrent traces are safe.
 """
 import jax
 
 
 def jit_with_world(fn, env):
     """`jax.jit(fn)` where `fn` closes over `env`, with env.grid's band
-    stacks passed as jit arguments.  Returns a callable with `fn`'s own
-    signature.  NOT thread-safe during trace (see module docstring)."""
+    stacks passed as jit arguments via fn's `grid=` keyword.  Returns a
+    callable with `fn`'s own positional signature."""
     g = env.grid
     bands = (g.band_contact, g.band_scan)
     if all(b is None for b in bands):
         return jax.jit(fn)
+    base = g._replace(band_contact=None, band_scan=None)
 
     def inner(args, bands):
-        old = env.grid
-        env.grid = old._replace(band_contact=bands[0], band_scan=bands[1])
-        try:
-            return fn(*args)
-        finally:
-            env.grid = old
+        return fn(*args, grid=base._replace(band_contact=bands[0],
+                                            band_scan=bands[1]))
 
     jitted = jax.jit(inner)
     return lambda *args: jitted(args, bands)

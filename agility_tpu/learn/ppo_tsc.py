@@ -163,7 +163,8 @@ class TscPPO:
 
     # ------------------------------------------------------------------
 
-    def rollout(self, ts: TscTrainState, es: AgilityState, disc_hist, hist_encoding):
+    def rollout(self, ts: TscTrainState, es: AgilityState, disc_hist, hist_encoding,
+                grid=None):
         cfg = self.cfg
         s = self.slices
 
@@ -182,7 +183,7 @@ class TscPPO:
 
             es2, next_commands = self.env.set_commands(es, actions)
             actions_bbc = self.bbc_act(obs_bbc, next_commands)
-            es3, out = self.env.step(es2, actions_bbc)
+            es3, out = self.env.step(es2, actions_bbc, grid=grid)
 
             patched = jnp.where(out.reset[:, None], out.terminal_disc_obs, out.disc_obs)
             disc_hist2 = jnp.concatenate([disc_hist[:, 1:], patched[:, None]], axis=1)
@@ -370,9 +371,12 @@ class TscPPO:
 
     # ------------------------------------------------------------------
 
-    def train_iteration(self, ts: TscTrainState, es: AgilityState, disc_hist, it):
+    def train_iteration(self, ts: TscTrainState, es: AgilityState, disc_hist, it,
+                        grid=None):
+        """`grid`: jit-argument world carrying the band stacks (jitwrap)."""
         hist_encoding = (it % self.cfg.dagger_update_freq) == 0
-        ts, es, disc_hist, trs, roll_m = self.rollout(ts, es, disc_hist, hist_encoding)
+        ts, es, disc_hist, trs, roll_m = self.rollout(
+            ts, es, disc_hist, hist_encoding, grid)
         last_values = self.ac.apply(ts.ac_params, es.obs_buf, method="value")
         advantages, returns = self.compute_gae(trs, last_values)
         k1, k2, k3 = jax.random.split(ts.key, 3)

@@ -262,7 +262,8 @@ class SSInfoGAIL:
     # rollout
     # ------------------------------------------------------------------
 
-    def rollout(self, ts: TrainState, es: LocoState, disc_hist, hist_encoding):
+    def rollout(self, ts: TrainState, es: LocoState, disc_hist, hist_encoding,
+                grid=None):
         """T-step on-policy rollout; returns stacked transitions."""
         cfg = self.cfg
         s = self.slices
@@ -282,7 +283,7 @@ class SSInfoGAIL:
             logp = nets.gaussian_log_prob(mean, std, actions)
             values = self.ac.apply(ts.ac_params, critic_obs, method="value")
 
-            es2, out = self.env.step(es, actions)
+            es2, out = self.env.step(es, actions, grid=grid)
 
             # disc-obs two-frame window w/ terminal patching (runner :166-181)
             patched = jnp.where(out.reset[:, None], out.terminal_disc_obs, out.disc_obs)
@@ -653,12 +654,15 @@ class SSInfoGAIL:
     # one full training iteration
     # ------------------------------------------------------------------
 
-    def train_iteration(self, ts: TrainState, es: LocoState, disc_hist, it):
-        """One iteration: rollout -> GAE -> PPO -> disc -> (DAgger)."""
+    def train_iteration(self, ts: TrainState, es: LocoState, disc_hist, it,
+                        grid=None):
+        """One iteration: rollout -> GAE -> PPO -> disc -> (DAgger).
+        `grid`: jit-argument world carrying the band stacks (jitwrap)."""
         hist_encoding = (it % self.cfg.dagger_update_freq) == 0
         # the env's prior follows the learner's EMA
         es = es._replace(prior_parameters=ts.prior_parameters)
-        ts, es, disc_hist, trs, roll_m = self.rollout(ts, es, disc_hist, hist_encoding)
+        ts, es, disc_hist, trs, roll_m = self.rollout(
+            ts, es, disc_hist, hist_encoding, grid)
 
         last_values = self.ac.apply(ts.ac_params, es.obs_buf, method="value")
         advantages, returns = self.compute_gae(trs, last_values)

@@ -153,7 +153,7 @@ class TscVision:
         prop_masked = obs[:, : self.n_prop].at[:, self.n_prop - self.n_aux :].set(0.0)
         return obs, prop_masked
 
-    def rollout(self, ts: VisionTrainState, es: AgilityState):
+    def rollout(self, ts: VisionTrainState, es: AgilityState, grid=None):
         """Collect a T-step student trajectory with teacher supervision.
 
         Camera timing follows the reference (legged_robot_config.py:63-84,
@@ -209,7 +209,7 @@ class TscVision:
 
                 es2, next_commands = self.env.set_commands(es, actions_student)
                 actions_bbc = self.teacher.bbc_act(obs_bbc, next_commands)
-                es3, out = self.env.step(es2, actions_bbc)
+                es3, out = self.env.step(es2, actions_bbc, grid=grid)
 
                 data = dict(obs=obs, dyaw_ok=dyaw_ok,
                             actions_teacher=actions_teacher,
@@ -337,8 +337,8 @@ class TscVision:
 
     # ------------------------------------------------------------------
 
-    def train_iteration(self, ts: VisionTrainState, es: AgilityState):
-        ts, es, data, hidden, roll_m = self.rollout(ts, es)
+    def train_iteration(self, ts: VisionTrainState, es: AgilityState, grid=None):
+        ts, es, data, hidden, roll_m = self.rollout(ts, es, grid)
         ts, up_m = self.update(ts, data)
         # GRU hidden detach between iterations (runner :425)
         ts = ts._replace(hidden=jax.lax.stop_gradient(hidden))

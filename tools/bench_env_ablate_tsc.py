@@ -26,10 +26,10 @@ from agility_tpu.learn.jitwrap import jit_with_world
 
 
 def bench(env, label, es, T=48, reps=3):
-    def run(es):
+    def run(es, grid=None):
         def body(es, _):
             act = jnp.tanh(es.obs_buf[:, :12])
-            es, out = env.step(es, act)
+            es, out = env.step(es, act, grid=grid)
             return es, out.rew
         return jax.lax.scan(body, es, None, length=T)
 
@@ -67,14 +67,14 @@ def main():
     # observation assembly stubbed (physics+rewards remain)
     env2 = Go2AgilityEnv(cfg)
     obs_shapes = jax.eval_shape(env2._compute_observations, es)
-    env2._compute_observations = lambda state: zeros_like_shape(obs_shapes)
+    env2._compute_observations = lambda state, grid=None: zeros_like_shape(obs_shapes)
     bench(env2, "no _compute_observations", es)
 
     # scandot measurement stubbed (rest of obs assembly remains)
     env3 = Go2AgilityEnv(cfg)
     mh_shape = jax.eval_shape(
         lambda s: env3._measure_heights(s, s.sim.base_pos, s.sim.base_quat), es)
-    env3._measure_heights = lambda state, bp, bq: jnp.zeros(
+    env3._measure_heights = lambda state, bp, bq, grid=None: jnp.zeros(
         mh_shape.shape, mh_shape.dtype)
     bench(env3, "no _measure_heights", es)
 

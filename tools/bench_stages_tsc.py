@@ -61,10 +61,11 @@ def main():
     jax.block_until_ready(es.sim.base_pos)
     print(f"N={N} envs, scan reps={K}", flush=True)
 
-    def full(ts, es, dh):
+    def full(ts, es, dh, grid=None):
         def body(c, _):
             ts, es, dh = c
-            ts, es, dh, m = alg.train_iteration(ts, es, dh, jnp.asarray(1))
+            ts, es, dh, m = alg.train_iteration(ts, es, dh, jnp.asarray(1),
+                                                grid=grid)
             return (ts, es, dh), m["rollout/r_total"]
         (ts, es, dh), r = jax.lax.scan(body, (ts, es, dh), None, length=K)
         return ts, es, dh, r
@@ -72,10 +73,11 @@ def main():
     t_full = timed("full train_iteration", jit_with_world(full, env),
                    ts, es, dh) / K
 
-    def rollout_only(ts, es, dh):
+    def rollout_only(ts, es, dh, grid=None):
         def body(c, _):
             ts, es, dh = c
-            ts, es, dh, trs, m = alg.rollout(ts, es, dh, jnp.asarray(True))
+            ts, es, dh, trs, m = alg.rollout(ts, es, dh, jnp.asarray(True),
+                                             grid)
             return (ts, es, dh), m["r_total"]
         (ts, es, dh), r = jax.lax.scan(body, (ts, es, dh), None, length=K)
         return ts, es, dh, r
@@ -84,10 +86,10 @@ def main():
                    ts, es, dh) / K
 
     # env.step alone (zero TSC/BBC nets): PD-stand actions
-    def env_only(es):
+    def env_only(es, grid=None):
         a = jnp.zeros((N, 12), jnp.float32)
         def body(es, _):
-            es, out = env.step(es, a)
+            es, out = env.step(es, a, grid=grid)
             return es, out.rew
         es, r = jax.lax.scan(body, es, None, length=24)
         return es, r
@@ -97,7 +99,7 @@ def main():
 
     # nets alone: estimator + TSC heads(2x) + value + set_commands + BBC act,
     # feeding the action back into set_commands so nothing is hoisted
-    def nets_only(ts, es):
+    def nets_only(ts, es, grid=None):
         s = alg.slices
         def body(c, _):
             es, obs = c
@@ -124,8 +126,8 @@ def main():
 
     # materialize one rollout for the update stages
     ts2, es2, dh2, trs, _ = jit_with_world(
-        lambda ts, es, dh: alg.rollout(ts, es, dh, jnp.asarray(True)), env)(
-            ts, es, dh)
+        lambda ts, es, dh, grid=None: alg.rollout(
+            ts, es, dh, jnp.asarray(True), grid), env)(ts, es, dh)
     last_values = alg.ac.apply(ts2.ac_params, es2.obs_buf, method="value")
     advantages, returns = alg.compute_gae(trs, last_values)
     jax.block_until_ready(advantages)

@@ -66,12 +66,22 @@ def main():
             continue
         print(f"[watchdog] stall: log idle {age:.0f}s > {args.stall_sec:.0f}s; "
               f"killing pid {pid}", flush=True)
+        # kill the PROCESS GROUP: a setsid/nohup launch makes the shell
+        # wrapper the group leader, and killing only the matched pid can
+        # orphan the actual python trainer still wedged on the device
+        # (observed r5: the bash wrapper died, the trainer kept the tunnel)
         try:
-            os.kill(pid, signal.SIGTERM)
+            pgid = os.getpgid(pid)
+            os.killpg(pgid, signal.SIGTERM)
             time.sleep(10)
-            os.kill(pid, signal.SIGKILL)
+            os.killpg(pgid, signal.SIGKILL)
         except ProcessLookupError:
             pass
+        except PermissionError:
+            try:
+                os.kill(pid, signal.SIGKILL)
+            except ProcessLookupError:
+                pass
         time.sleep(5)
         restarts += 1
         if restarts > args.max_restarts:
@@ -82,7 +92,10 @@ def main():
             sys.exit(1)
         with open(args.log, "ab") as logf:
             logf.write(b"\n[watchdog] restarting\n")
-            subprocess.Popen(cmd, stdout=logf, stderr=logf)
+            # own session: the group-kill above must never reach the
+            # watchdog's own process group
+            subprocess.Popen(cmd, stdout=logf, stderr=logf,
+                             start_new_session=True)
         print(f"[watchdog] restarted ({restarts}/{args.max_restarts})",
               flush=True)
 
