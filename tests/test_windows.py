@@ -253,3 +253,35 @@ def test_contact_band_bf16_solver_precision(rng):
     np.testing.assert_allclose(np.asarray(s16.sim.dof_pos),
                                np.asarray(s32.sim.dof_pos), atol=2e-2)
     assert np.isfinite(np.asarray(o16.rew)).all()
+
+
+@pytest.mark.slow
+def test_jit_with_world_threads_bands_explicitly(monkeypatch):
+    """jit_with_world passes the band stacks as jit arguments via the
+    wrapped callable's `grid=` keyword (r5: no trace-time env.grid
+    mutation).  Forcing the interpret window mode attaches bands on CPU so
+    the full path — init_state, step, and the TSC train_iteration — runs
+    through the threaded grid."""
+    monkeypatch.setenv("AGILITY_WINDOWS", "interpret")
+    import jax
+    import jax.numpy as jnp
+
+    from agility_tpu.envs.go2_agility import Go2AgilityEnv
+    from agility_tpu.envs.tsc_config import tsc_smoke_cfg
+    from agility_tpu.learn.jitwrap import jit_with_world
+    from agility_tpu.learn.ppo_tsc import TscAlgoCfg, TscPPO
+    from agility_tpu.learn.runner_tsc import load_bbc_frozen
+
+    env = Go2AgilityEnv(tsc_smoke_cfg(num_envs=4, courses=2))
+    assert env.grid.band_contact is not None or env.grid.band_scan is not None
+    es = jit_with_world(env.init_state, env)(jax.random.PRNGKey(0))
+    es2, out = jit_with_world(env.step, env)(es, jnp.zeros((4, 12)))
+    assert np.isfinite(np.asarray(out.obs)).all()
+    alg = TscPPO(env, load_bbc_frozen(None, seed=0),
+                 TscAlgoCfg(num_steps_per_env=2, num_learning_epochs=1,
+                            num_mini_batches=2), seed=0)
+    ts = jax.jit(alg.init_train_state)(jax.random.PRNGKey(2))
+    dh = jnp.repeat(es2.disc_obs[:, None], env.cfg.env.disc_obs_len, axis=1)
+    _, _, _, m = jit_with_world(alg.train_iteration, env)(
+        ts, es2, dh, jnp.asarray(0))
+    assert np.isfinite(float(m["rollout/r_total"]))
