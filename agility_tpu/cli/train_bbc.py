@@ -39,6 +39,11 @@ def get_args():
                  "randomize_base_com", "randomize_motor", "action_delay"):
         p.add_argument(f"--no_{flag}", action="store_true",
                        help=f"disable domain_rand.{flag}")
+    p.add_argument("--override", action="append", default=[],
+                   metavar="KEY=VALUE",
+                   help="dotted config override, e.g. "
+                        "normalization.task_obs_weight_decay_steps=12000 "
+                        "(repeatable; values parsed as python literals)")
     return p.parse_args()
 
 
@@ -68,6 +73,14 @@ def main():
                  "randomize_base_com", "randomize_motor", "action_delay"):
         if getattr(args, f"no_{flag}"):
             overrides[f"domain_rand.{flag}"] = False
+    import ast
+
+    for ov in args.override:
+        k, _, v = ov.partition("=")
+        try:
+            overrides[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            overrides[k] = v
     cfg = registry.apply_overrides(cfg, **overrides)
 
     exp_name = args.experiment_name or args.task
