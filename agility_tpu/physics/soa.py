@@ -457,66 +457,53 @@ def limit_impulses(c: _Consts, f, u_arr, q, dt, *, iters=6, relax=0.8,
 
     u_arr: (18, N); q: (12, N).  Returns the corrected (18, N).
     """
-    qd = [u_arr[6 + d] for d in range(c.nu)]
     dtype = u_arr.dtype
-    lo_l = jnp.asarray(c.lower, dtype)
-    hi_l = jnp.asarray(c.upper, dtype)
-    vl = jnp.asarray(c.vel_limit, dtype)
-    need = [None] * c.nu
-    active = [None] * c.nu
-    for d in range(c.nu):
-        lo = jnp.maximum(-vl[d], jnp.minimum((lo_l[d] - q[d]) / dt,
-                                             max_correction_vel))
-        hi = jnp.minimum(vl[d], jnp.maximum((hi_l[d] - q[d]) / dt,
-                                            -max_correction_vel))
-        tgt = jnp.clip(qd[d], lo, hi)
-        need[d] = tgt - qd[d]
-        active[d] = (jnp.abs(need[d]) > 0.0).astype(dtype)
+    qd = u_arr[6:]                                     # (12, N)
+    lo_l = jnp.asarray(c.lower, dtype)[:, None]
+    hi_l = jnp.asarray(c.upper, dtype)[:, None]
+    vl = jnp.asarray(c.vel_limit, dtype)[:, None]
+    lo = jnp.maximum(-vl, jnp.minimum((lo_l - q) / dt, max_correction_vel))
+    hi = jnp.minimum(vl, jnp.maximum((hi_l - q) / dt, -max_correction_vel))
+    need = jnp.clip(qd, lo, hi) - qd                   # (12, N)
+    active = (jnp.abs(need) > 0.0).astype(dtype)
 
     legs = f["legs"]
+    # the stacked algebra below assumes the Go2 dof layout: leg k owns the
+    # contiguous dof triple 3k..3k+2 (consts_of leg discovery in link order)
+    assert all(list(leg) == [3 * k, 3 * k + 1, 3 * k + 2]
+               for k, leg in enumerate(legs)), legs
+    # stack the factors once per substep: the per-dof list algebra dispatches
+    # thousands of (N,)-sized VPU ops; stacked (small, small, N) tensors with
+    # N in the lane axis do the same work in ~30 ops (env-minor layout rule,
+    # PERF_NOTES.md)
+    W = jnp.zeros((6, c.nu) + need.shape[1:], dtype)
+    for k, leg in enumerate(legs):
+        blk = jnp.stack([jnp.stack(row) for row in f["BDinv"][k]])  # (6,3,N)
+        W = W.at[:, np.asarray(leg)].set(blk)
+    Sinv = jnp.stack([jnp.stack(row) for row in f["Sinv"]])         # (6,6,N)
+    Dinv = jnp.stack([jnp.stack([jnp.stack(row) for row in f["Dinv"][k]])
+                      for k in range(len(legs))])                   # (4,3,3,N)
 
-    def Wj_of(j):
-        """W @ j = sum_k BDinv_k j_leg  -> 6-list."""
-        acc = None
-        for k, leg in enumerate(legs):
-            t = mat_vec(f["BDinv"][k], [j[d] for d in leg])
-            acc = t if acc is None else [acc[r] + t[r] for r in range(6)]
-        return acc
+    SinvW = jnp.einsum("abn,bdn->adn", Sinv, W)                     # (6,12,N)
+
+    def Dinv_mul(j):
+        jl = j.reshape((len(legs), 3) + j.shape[1:])                # (4,3,N)
+        return jnp.einsum("kabn,kbn->kan", Dinv, jl).reshape(j.shape)
 
     def A_mul(j):
-        Sw = mat_vec(f["Sinv"], Wj_of(j))
-        out = [None] * c.nu
-        for k, leg in enumerate(legs):
-            dj = mat_vec(f["Dinv"][k], [j[d] for d in leg])
-            wt = mat_vec(mat_T(f["BDinv"][k]), Sw)
-            for i, d in enumerate(leg):
-                out[d] = dj[i] + wt[i]
-        return out
+        Sw = jnp.einsum("adn,dn->an", SinvW, j)                     # (6,N)
+        return Dinv_mul(j) + jnp.einsum("abn,an->bn", W, Sw)
 
-    # diag(A_jj): Dinv diagonal + w_d^T Sinv w_d
-    diag = [None] * c.nu
-    for k, leg in enumerate(legs):
-        for i, d in enumerate(leg):
-            w = [f["BDinv"][k][r][i] for r in range(6)]
-            Sw = mat_vec(f["Sinv"], w)
-            diag[d] = f["Dinv"][k][i][i] + sum(w[r] * Sw[r] for r in range(6))
+    diag = (jnp.einsum("kaan->kan", Dinv).reshape(need.shape)
+            + jnp.einsum("adn,adn->dn", W, SinvW))
 
-    j = [jnp.zeros_like(need[d]) for d in range(c.nu)]
+    j = jnp.zeros_like(need)
     for _ in range(iters):
-        Aj = A_mul(j)
-        j = [(j[d] + relax * (need[d] - Aj[d]) / diag[d]) * active[d]
-             for d in range(c.nu)]
+        j = (j + relax * (need - A_mul(j)) / diag) * active
 
-    Sw = mat_vec(f["Sinv"], Wj_of(j))          # = -du_base
-    du = [None] * 18
-    for r in range(6):
-        du[r] = -Sw[r]
-    for k, leg in enumerate(legs):
-        dj = mat_vec(f["Dinv"][k], [j[d] for d in leg])
-        wt = mat_vec(mat_T(f["BDinv"][k]), Sw)
-        for i, d in enumerate(leg):
-            du[6 + d] = dj[i] + wt[i]
-    return u_arr + jnp.stack(du)
+    Sw = jnp.einsum("adn,dn->an", SinvW, j)            # = -du_base
+    du_joint = Dinv_mul(j) + jnp.einsum("abn,an->bn", W, Sw)
+    return u_arr + jnp.concatenate([-Sw, du_joint], axis=0)
 
 
 # ---------------------------------------------------------------------------
